@@ -1,0 +1,118 @@
+"""High-level robot silhouette/depth renderer.
+
+The TPU-native replacement for the reference's render facade
+(easyhec/utils/render_api.py:27-192 and
+easyhec/structures/nvdiffrast_renderer.py): all links of all frames render in
+ONE batched call (the reference issues B×L separate CUDA rasterizer launches,
+its #1 hot-loop cost — SURVEY.md §3.2).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..robot.mesh import TriMesh, pack_meshes
+from .projection import setup_triangles, transform_verts
+from .raster_jnp import depth_bruteforce, silhouette_bruteforce
+from .tiled import TileConfig, depth_tiled, silhouette_tiled
+
+__all__ = ["RobotRenderer"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class RobotRenderer:
+    """Renders a set of per-link meshes under per-frame link poses.
+
+    Static data (packed vertices/faces/link-ids) is baked at construction;
+    `silhouette`/`depth` are pure jittable functions of the pose inputs.
+
+    mode: "tiled" (production) or "brute" (reference path, small scenes).
+    """
+
+    def __init__(
+        self,
+        link_meshes: list[TriMesh],
+        H: int,
+        W: int,
+        tile: TileConfig | None = None,
+        mode: str = "tiled",
+    ):
+        packed = pack_meshes(link_meshes)
+        self.vertices = jnp.asarray(packed.vertices)
+        self.faces = jnp.asarray(packed.faces)
+        self.vert_link_id = jnp.asarray(packed.vert_mesh_id)
+        self.face_link_id = jnp.asarray(packed.face_mesh_id)
+        self.n_links = packed.n_meshes
+        self.H, self.W = int(H), int(W)
+        self.tile = tile or TileConfig()
+        self.mode = mode
+
+    # -- pose plumbing -----------------------------------------------------
+
+    def camera_link_poses(self, Tc_c2b: jax.Array, link_poses: jax.Array) -> jax.Array:
+        """Compose camera-from-link transforms.
+
+        Tc_c2b: [..., 4, 4] camera-from-base; link_poses: [..., L, 4, 4]
+        base-from-link (FK output). Returns [..., L, 4, 4].
+        """
+        return jnp.einsum(
+            "...ij,...ljk->...lik", Tc_c2b, link_poses, precision=_HI
+        )
+
+    def _triangles(self, Tc_c2l: jax.Array, K: jax.Array):
+        verts_cam = transform_verts(self.vertices, self.vert_link_id, Tc_c2l)
+        return setup_triangles(verts_cam, self.faces, K)
+
+    # -- rendering ---------------------------------------------------------
+
+    def silhouette(
+        self,
+        Tc_c2b: jax.Array,
+        link_poses: jax.Array,
+        K: jax.Array,
+        sharpness: float = 1.0,
+    ) -> jax.Array:
+        """Soft silhouette of the whole arm (union of links), in [0, 1].
+
+        Tc_c2b [..., 4, 4], link_poses [..., L, 4, 4], K [3, 3]
+        -> [..., H, W].
+        """
+        tris = self._triangles(self.camera_link_poses(Tc_c2b, link_poses), K)
+        if self.mode == "brute":
+            return silhouette_bruteforce(tris, self.H, self.W, sharpness)
+        return silhouette_tiled(tris, self.H, self.W, self.tile, sharpness)
+
+    def depth(self, Tc_c2b: jax.Array, link_poses: jax.Array, K: jax.Array):
+        """-> (depth [..., H, W] metric z, link_id [..., H, W] int32, -1=bg)."""
+        tris = self._triangles(self.camera_link_poses(Tc_c2b, link_poses), K)
+        if self.mode == "brute":
+            z, tid = depth_bruteforce(tris, self.H, self.W)
+        else:
+            z, tid = depth_tiled(tris, self.H, self.W, self.tile)
+        face_ids = jnp.concatenate(
+            [self.face_link_id, jnp.asarray([-1], jnp.int32)]
+        )
+        link_id = face_ids[jnp.where(tid >= 0, tid, self.faces.shape[0])]
+        return z, link_id
+
+    def link_silhouettes(
+        self,
+        Tc_c2b: jax.Array,
+        link_poses: jax.Array,
+        K: jax.Array,
+        sharpness: float = 1.0,
+    ) -> jax.Array:
+        """Per-link masks [..., L, H, W] (parity with the reference's
+        per-link render loop; used by validation/overlay tooling)."""
+        tris = self._triangles(self.camera_link_poses(Tc_c2b, link_poses), K)
+
+        def one(link):
+            masked = tris._replace(valid=tris.valid & (self.face_link_id == link))
+            if self.mode == "brute":
+                return silhouette_bruteforce(masked, self.H, self.W, sharpness)
+            return silhouette_tiled(masked, self.H, self.W, self.tile, sharpness)
+
+        outs = [one(l) for l in range(self.n_links)]
+        return jnp.stack(outs, axis=-3)

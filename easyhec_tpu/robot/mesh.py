@@ -438,7 +438,7 @@ def _load_ply(path: Path) -> TriMesh:
         le = "<" if "little" in fmt else ">"
         for name, count, props in elements:
             if name == "vertex":
-                dt = np.dtype([(f"p{i}", le + _PLY_T[p[2]]) for i, p in enumerate(props)])
+                dt = np.dtype([(f"p{i}", le + _PLY_T[p[1]]) for i, p in enumerate(props)])
                 arr = np.frombuffer(body, dtype=dt, count=count, offset=off)
                 off += dt.itemsize * count
                 verts = np.stack(
@@ -459,7 +459,7 @@ def _load_ply(path: Path) -> TriMesh:
                         tris.append([idx[0], idx[k], idx[k + 1]])
                 faces = np.asarray(tris, np.int32)
             else:  # skip unknown fixed-size element
-                dt = np.dtype([(f"p{i}", le + _PLY_T[p[2]]) for i, p in enumerate(props) if p[0] == "scalar"])
+                dt = np.dtype([(f"p{i}", le + _PLY_T[p[1]]) for i, p in enumerate(props) if p[0] == "scalar"])
                 off += dt.itemsize * count
     if verts is None:
         raise ValueError(f"no vertex element in {path}")

@@ -211,3 +211,34 @@ class TestMeshIO:
         T[:3, 3] = [5, 0, 0]
         lo, hi = b.transformed(T).bounds()
         np.testing.assert_allclose((lo + hi) / 2, [5, 0, 0], atol=1e-6)
+
+
+@pytest.mark.skipif(not XARM_URDF.exists(), reason="reference assets unavailable")
+class TestZeroPoseParity:
+    def test_fk_posed_meshes_match_reference_zeropos_ply(self):
+        """Independent ground truth: the reference ships the xArm7 zero-pose
+        geometry as a PLY (assets/xarm7_zeropos.ply). FK-posing our parsed
+        link meshes must reproduce its spatial extent."""
+        from easyhec_tpu.robot import load_link_meshes, load_mesh
+
+        ply = load_mesh("/root/reference/assets/xarm7_zeropos.ply")
+        ref_lo, ref_hi = ply.bounds()
+
+        model = parse_urdf(XARM_URDF)
+        chain = build_chain(model)
+        names = [f"link{i}" for i in range(1, 8)]
+        meshes = load_link_meshes(model, link_names=names)
+        if len(meshes) < 7:
+            pytest.skip("mesh files not present")
+        poses = np.asarray(chain.fk(jnp.zeros(chain.n_dof)))
+        los, his = [], []
+        for n in names:
+            T = poses[chain.link_index(n)]
+            lo, hi = meshes[n].transformed(T).bounds()
+            los.append(lo)
+            his.append(hi)
+        lo = np.min(los, axis=0)
+        hi = np.max(his, axis=0)
+        # The PLY also contains the base + gripper; allow ~6cm slack
+        np.testing.assert_allclose(hi, ref_hi, atol=0.06)
+        assert lo[2] > ref_lo[2] - 0.02  # nothing below the base plane
