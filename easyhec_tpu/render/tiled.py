@@ -35,6 +35,7 @@ class TileConfig(NamedTuple):
     tile_h: int = 32
     tile_w: int = 128
     capacity: int = 512  # max triangles per tile bin
+    use_pallas: bool = True  # Pallas kernel (interpret-mode off-TPU) vs pure XLA
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -87,7 +88,7 @@ def bin_triangles(
 
     counts = jnp.sum(overlap, axis=-1)
     overflowed = jnp.any(counts > k)
-    return tri_ids, overflowed
+    return tri_ids, jnp.minimum(counts, k).astype(jnp.int32), overflowed
 
 
 def _gather_tile_edges(edges, tri_ids, cfg: TileConfig, n_tx: int):
@@ -122,8 +123,28 @@ def _gather_tile_edges(edges, tri_ids, cfg: TileConfig, n_tx: int):
 def _silhouette_tiled_single(tris: Triangles2D, H: int, W: int, cfg: TileConfig, sharpness: float):
     n_ty, n_tx = _cdiv(H, cfg.tile_h), _cdiv(W, cfg.tile_w)
     edges = build_edges(tris.uv, tris.z, tris.valid)
-    tri_ids, overflowed = bin_triangles(tris, H, W, cfg)
+    tri_ids, counts, overflowed = bin_triangles(tris, H, W, cfg)
     abc_t, bbox_t, valid_t, _, _ = _gather_tile_edges(edges, tri_ids, cfg, n_tx)
+
+    if cfg.use_pallas:
+        from ..ops.tile_raster import tile_silhouette
+
+        cap = abc_t.shape[1]
+        tri16 = jnp.concatenate(
+            [
+                abc_t.reshape(abc_t.shape[0], cap, 9),
+                bbox_t,
+                jnp.zeros((abc_t.shape[0], cap, 3), abc_t.dtype),
+            ],
+            axis=-1,
+        )
+        tiles3 = tile_silhouette(tri16, counts, cfg.tile_h, cfg.tile_w, sharpness)
+        img = (
+            tiles3.reshape(n_ty, n_tx, cfg.tile_h, cfg.tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_ty * cfg.tile_h, n_tx * cfg.tile_w)
+        )
+        return img[:H, :W], overflowed
 
     pix = pixel_grid(cfg.tile_h, cfg.tile_w)  # [P, 3] tile-local
 
@@ -183,7 +204,7 @@ def silhouette_tiled(
 def _depth_tiled_single(tris: Triangles2D, H: int, W: int, cfg: TileConfig):
     n_ty, n_tx = _cdiv(H, cfg.tile_h), _cdiv(W, cfg.tile_w)
     edges = build_edges(tris.uv, tris.z, tris.valid)
-    tri_ids, overflowed = bin_triangles(tris, H, W, cfg)
+    tri_ids, _counts, overflowed = bin_triangles(tris, H, W, cfg)
     abc_t, _bbox_t, valid_t, _, _ = _gather_tile_edges(edges, tri_ids, cfg, n_tx)
 
     F = edges.abc.shape[-3]
