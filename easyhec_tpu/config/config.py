@@ -1,0 +1,143 @@
+"""Typed configuration tree.
+
+Replaces the reference's dual yacs trees (easyhec/config/defaults.py,
+defaults_franka.py — 450 LoC of stringly-typed keys selected by a
+--use_franka flag; see SURVEY.md §5 config) with one dataclass tree +
+yaml merge + dotted CLI overrides. One tree serves every robot: the robot
+specifics (urdf, mesh paths, link selection) are plain fields.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+__all__ = [
+    "Config",
+    "ModelConfig",
+    "SolverConfig",
+    "DatasetConfig",
+    "ExplorerConfig",
+    "RenderConfig",
+    "load_config",
+    "save_config",
+    "apply_overrides",
+]
+
+
+@dataclass
+class RenderConfig:
+    tile_h: int = 32
+    tile_w: int = 128
+    capacity: int = 512  # triangles per tile bin
+    use_pallas: bool = True
+    mode: str = "tiled"  # "tiled" | "brute"
+    sharpness: float = 1.0
+
+
+@dataclass
+class ModelConfig:
+    """The RBSolver-equivalent pose model (reference:
+    easyhec/modeling/models/rb_solve/rb_solver.py + configs/*/example*.yaml)."""
+
+    urdf_path: str = ""
+    mesh_paths: list[str] = field(default_factory=list)  # optional explicit meshes
+    use_links: list[str] = field(default_factory=list)  # link names to render
+    init_Tc_c2b: list[list[float]] | None = None  # 4x4 row-major; None = from dataset/lookat
+    H: int = 480
+    W: int = 640
+    history_size: int = 10000  # pose-hypothesis ring buffer (reference: rb_solver.py:39)
+
+
+@dataclass
+class SolverConfig:
+    optimizer: str = "adam"  # adam | sgd
+    max_lr: float = 3e-3  # reference default (configs/xarm7/example.yaml:44)
+    scheduler: str = "constant"  # constant | cosine | exponential | onecycle
+    num_epochs: int = 1000  # optimization steps per round (1 step = full batch)
+    explore_iters: int = 5
+    grad_clip: float = 0.0  # 0 = off
+    weight_decay: float = 0.0
+    log_interval: int = 100
+    save_freq: int = 100
+    seed: int = 0
+
+
+@dataclass
+class DatasetConfig:
+    data_dir: str = ""  # layout: color/ mask/ qpos/ K.txt [Tc_c2b.txt]
+    batch_size: int = 0  # 0 = all frames in one batch (reference semantics)
+
+
+@dataclass
+class ExplorerConfig:
+    """Space-exploration next-pose selection (reference:
+    easyhec/modeling/models/rb_solve/space_explorer.py)."""
+
+    n_sample_qposes: int = 1000
+    n_hypotheses: int = 10  # historical pose hypotheses ("sample" in reference)
+    history_start: int = 200  # burn-in steps dropped from history
+    max_dist: float = 0.5  # max link distance from workspace center
+    max_dist_constraint: bool = True
+    self_collision_check: bool = True
+    render_downscale: int = 2  # score renders at H/ds x W/ds
+    seed: int = 0
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    explorer: ExplorerConfig = field(default_factory=ExplorerConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    output_dir: str = "runs/default"
+    dbg: bool = False
+
+
+def _update_dataclass(obj: Any, data: dict) -> Any:
+    for k, v in data.items():
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key {k!r} for {type(obj).__name__}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _update_dataclass(cur, v)
+        else:
+            setattr(obj, k, v)
+    return obj
+
+
+def load_config(path: str | Path | None = None, overrides: list[str] | None = None) -> Config:
+    cfg = Config()
+    if path is not None:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        _update_dataclass(cfg, data)
+    if overrides:
+        apply_overrides(cfg, overrides)
+    return cfg
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Dotted-path CLI overrides: ["solver.max_lr=0.01", "model.H=720"]."""
+    for item in overrides:
+        key, _, raw = item.partition("=")
+        if not _:
+            raise ValueError(f"override {item!r} must be key=value")
+        obj = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        cur = getattr(obj, parts[-1])
+        val = yaml.safe_load(raw)
+        setattr(obj, parts[-1], val)
+    return cfg
+
+
+def save_config(cfg: Config, path: str | Path) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)

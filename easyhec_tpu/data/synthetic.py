@@ -1,0 +1,152 @@
+"""Synthetic calibration-data generator (the framework's closed-loop test rig).
+
+Replaces the reference's SAPIEN ray-traced simulator
+(tools/simulate/gen_data_for_mask_training.py:21-174) for the purposes the
+framework actually needs: GT-pose datasets for closed-loop accuracy tests and
+mask/segmentation training data. Rendering uses our own rasterizer — masks
+are exact GT silhouettes; RGB is flat-shaded lambertian from per-face normals
+(not path-traced; capability-preserving substitution, SURVEY.md §7).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import camera, se3
+from ..render.renderer import RobotRenderer
+from ..robot import KinematicChain
+from .dataset import save_calib_dataset
+
+__all__ = ["sample_qposes", "generate_dataset"]
+
+
+def sample_qposes(
+    key: jax.Array,
+    chain: KinematicChain,
+    n: int,
+    limit_fraction: float = 0.5,
+) -> jax.Array:
+    """Uniform random joint configurations within scaled joint limits
+    (reference SpaceExplorer.sample_qposes, space_explorer.py:200-209)."""
+    lo = jnp.asarray(chain.joint_limits[:, 0]) * limit_fraction
+    hi = jnp.asarray(chain.joint_limits[:, 1]) * limit_fraction
+    return jax.random.uniform(key, (n, chain.n_dof), minval=lo, maxval=hi)
+
+
+def _face_normals(renderer: RobotRenderer, Tc_c2l: jax.Array) -> jax.Array:
+    """Camera-frame unit normals per packed face under per-link poses [L,4,4]."""
+    from ..render.projection import transform_verts
+
+    verts_cam = transform_verts(renderer.vertices, renderer.vert_link_id, Tc_c2l)
+    tri = verts_cam[renderer.faces]  # [F, 3, 3]
+    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def generate_dataset(
+    out_dir: str | Path,
+    chain: KinematicChain,
+    renderer: RobotRenderer,
+    link_names: list[str],
+    Tc_c2b: np.ndarray,
+    K: np.ndarray,
+    n_frames: int = 10,
+    seed: int = 0,
+    limit_fraction: float = 0.5,
+    qposes: np.ndarray | None = None,
+    write_depth: bool = False,
+) -> dict[str, np.ndarray]:
+    """Render a GT dataset in the reference-compatible directory layout.
+
+    Returns {"masks", "qpos", "rgb", "depth"} for in-memory use as well.
+    """
+    key = jax.random.PRNGKey(seed)
+    if qposes is None:
+        qposes = sample_qposes(key, chain, n_frames, limit_fraction)
+    qposes = jnp.asarray(qposes, jnp.float32)
+    link_idx = jnp.asarray([chain.link_index(n) for n in link_names])
+    Tc = jnp.asarray(Tc_c2b, jnp.float32)
+    Kj = jnp.asarray(K, jnp.float32)
+
+    @jax.jit
+    def render(qs):
+        lp = jax.vmap(chain.fk)(qs)[:, link_idx]  # [B, L, 4, 4]
+        masks = renderer.silhouette(Tc, lp, Kj)
+        depth, link_id = renderer.depth(Tc, lp, Kj)
+        return masks, depth, link_id, lp
+
+    masks, depth, link_id, lp = render(qposes)
+
+    # Flat-shaded RGB: lambertian from the hit face's camera-frame normal.
+    @jax.jit
+    def shade(lp_b, link_id_b, depth_b):
+        def one(lp_f, ids, d):
+            Tc_c2l = renderer.camera_link_poses(Tc, lp_f)
+            normals = _face_normals(renderer, Tc_c2l)  # [F, 3]
+            tris = renderer._triangles(Tc_c2l, Kj)
+            # Recover face-level normal per pixel via the link-id pass's
+            # triangle ids — re-run depth to get tri ids
+            from ..render.tiled import depth_tiled
+
+            _, tid = depth_tiled(tris, renderer.H, renderer.W, renderer.tile)
+            light = jnp.asarray([0.3, -0.5, -0.8])
+            light = light / jnp.linalg.norm(light)
+            lam = jnp.abs(normals @ light)  # [F]
+            lam = jnp.concatenate([lam, jnp.zeros(1)])
+            shadepix = lam[jnp.where(tid >= 0, tid, normals.shape[0])]
+            base = 0.25 + 0.75 * shadepix
+            img = jnp.where(tid >= 0, base, 0.08)  # dark background
+            return img
+
+        return jax.vmap(one)(lp_b, link_id_b, depth_b)
+
+    gray = np.asarray(shade(lp, link_id, depth))
+    rgb = (np.repeat(gray[..., None], 3, axis=-1) * 255).astype(np.uint8)
+
+    masks_np = np.asarray(masks)
+    qpos_np = np.asarray(qposes)
+    save_calib_dataset(
+        out_dir,
+        masks=(masks_np > 0.5).astype(np.float32),
+        qpos=qpos_np,
+        K=np.asarray(K),
+        Tc_c2b_gt=np.asarray(Tc_c2b),
+        rgb=rgb,
+    )
+    if write_depth:
+        ddir = Path(out_dir) / "depth"
+        ddir.mkdir(parents=True, exist_ok=True)
+        for i, d in enumerate(np.asarray(depth)):
+            np.save(ddir / f"{i:06d}.npy", d)
+    return {
+        "masks": masks_np,
+        "qpos": qpos_np,
+        "rgb": rgb,
+        "depth": np.asarray(depth),
+    }
+
+
+def default_camera(
+    distance: float = 1.6,
+    azimuth_deg: float = 40.0,
+    height: float = 0.9,
+    target=(0.0, 0.0, 0.25),
+) -> np.ndarray:
+    """A plausible tripod camera pose looking at the robot workspace.
+    Returns Tc_c2b (camera-from-base extrinsic)."""
+    az = np.deg2rad(azimuth_deg)
+    eye = jnp.asarray(
+        [
+            target[0] + distance * np.cos(az),
+            target[1] + distance * np.sin(az),
+            height,
+        ],
+        jnp.float32,
+    )
+    T_cam2base = camera.look_at(
+        eye, jnp.asarray(target, jnp.float32), jnp.asarray([0.0, 0.0, 1.0])
+    )
+    return np.asarray(se3.inverse(T_cam2base))

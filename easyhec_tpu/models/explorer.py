@@ -1,0 +1,218 @@
+"""Consistency-based space exploration — next joint-pose selection.
+
+Reference: easyhec/modeling/models/rb_solve/space_explorer.py:21-235. Its hot
+loop iterates 1000 candidate qposes in Python, each doing C++ collision
+checks, an RRT feasibility plan, and 10 CUDA renders (SURVEY.md §3.3 hot
+loop #2). Here the whole scoring pass is one compiled program:
+
+    variance[c] = Σ_pixels Var_h( silhouette(candidate c, hypothesis h) )
+
+with candidates × hypotheses rendered batched, self-collision and
+workspace-distance gates computed as vectorized sphere tests in JAX, and
+only the FINAL chosen candidate handed to the host-side motion planner
+(easyhec_tpu.io.planner) for a trajectory — instead of planning all 1000.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3
+from ..render.renderer import RobotRenderer
+from ..robot import KinematicChain
+from ..robot.mesh import TriMesh
+
+__all__ = ["LinkSpheres", "build_link_spheres", "SpaceExplorer", "ExploreResult"]
+
+
+@dataclass(frozen=True)
+class LinkSpheres:
+    """Sphere approximation of the robot's links for fast collision tests.
+
+    centers: [L, S, 3] in link frame; radii: [L, S] (0-radius = unused slot);
+    pair_mask: [L, L] bool — True where a pair must be CHECKED (non-adjacent,
+    non-self; the reference gets this from the SRDF's allowed-collision list).
+    """
+
+    centers: np.ndarray
+    radii: np.ndarray
+    pair_mask: np.ndarray
+    link_indices: np.ndarray  # chain link index per row
+
+
+def build_link_spheres(
+    chain: KinematicChain,
+    link_meshes: dict[str, TriMesh],
+    spheres_per_link: int = 4,
+    adjacent_skip: int = 1,
+) -> LinkSpheres:
+    """Fit a few bounding spheres per link by slicing the mesh along its
+    longest axis. Crude but conservative — right shape for a feasibility GATE
+    (the reference's pymp/FCL check serves the same role)."""
+    names = [n for n in link_meshes]
+    L, S = len(names), spheres_per_link
+    centers = np.zeros((L, S, 3), np.float32)
+    radii = np.zeros((L, S), np.float32)
+    for i, n in enumerate(names):
+        v = link_meshes[n].vertices
+        lo, hi = v.min(0), v.max(0)
+        axis = int(np.argmax(hi - lo))
+        order = np.argsort(v[:, axis])
+        chunks = np.array_split(order, S)
+        for s, idx in enumerate(chunks):
+            if len(idx) == 0:
+                continue
+            pts = v[idx]
+            c = (pts.min(0) + pts.max(0)) / 2
+            centers[i, s] = c
+            radii[i, s] = float(np.linalg.norm(pts - c, axis=1).max())
+    link_indices = np.asarray([chain.link_index(n) for n in names], np.int32)
+    # Check only pairs more than `adjacent_skip` apart in the serial chain —
+    # neighbours legitimately touch (SRDF-allowed collisions in the reference).
+    pair = np.zeros((L, L), bool)
+    for i in range(L):
+        for j in range(L):
+            pair[i, j] = (j - i) > adjacent_skip
+    return LinkSpheres(centers, radii, pair, link_indices)
+
+
+@dataclass
+class ExploreResult:
+    qpos: np.ndarray  # chosen next joint configuration
+    variance: float
+    var_all: np.ndarray  # [C] variance per candidate (-inf = infeasible)
+    feasible: np.ndarray  # [C] bool
+    qpos_all: np.ndarray  # [C, n_dof]
+
+
+class SpaceExplorer:
+    def __init__(
+        self,
+        chain: KinematicChain,
+        renderer: RobotRenderer,
+        link_names: list[str],
+        spheres: LinkSpheres | None = None,
+        n_sample_qposes: int = 1000,
+        n_hypotheses: int = 10,
+        history_start: int = 200,
+        max_dist: float | None = 0.5,
+        limit_fraction: float = 0.9,
+        collision_margin: float = 0.0,
+    ):
+        self.chain = chain
+        self.renderer = renderer
+        self.link_idx = jnp.asarray([chain.link_index(n) for n in link_names])
+        self.spheres = spheres
+        self.n_sample_qposes = n_sample_qposes
+        self.n_hypotheses = n_hypotheses
+        self.history_start = history_start
+        self.max_dist = max_dist
+        self.limit_fraction = limit_fraction
+        self.collision_margin = collision_margin
+
+    # -- feasibility gates (vectorized over candidates) --------------------
+
+    def _self_collision_free(self, link_poses: jax.Array) -> jax.Array:
+        """link_poses: [C, n_links, 4, 4] -> [C] bool."""
+        if self.spheres is None:
+            return jnp.ones(link_poses.shape[0], bool)
+        sp = self.spheres
+        idx = jnp.asarray(sp.link_indices)
+        poses = link_poses[:, idx]  # [C, L, 4, 4]
+        R = poses[..., :3, :3]
+        t = poses[..., :3, 3]
+        c = jnp.einsum("clij,lsj->clsi", R, jnp.asarray(sp.centers)) + t[:, :, None, :]
+        r = jnp.asarray(sp.radii)  # [L, S]
+        # Pairwise: [C, L, S, L', S']
+        d = jnp.linalg.norm(
+            c[:, :, :, None, None, :] - c[:, None, None, :, :, :], axis=-1
+        )
+        rsum = r[:, :, None, None] + r[None, None, :, :]
+        # Only count spheres that exist (radius > 0) and checked pairs
+        exists = (r > 0)[:, :, None, None] & (r > 0)[None, None, :, :]
+        pair = jnp.asarray(sp.pair_mask)[:, None, :, None]
+        viol = (d - rsum < self.collision_margin) & exists & pair
+        return ~jnp.any(viol, axis=(1, 2, 3, 4))
+
+    def _within_workspace(self, link_poses: jax.Array) -> jax.Array:
+        if self.max_dist is None:
+            return jnp.ones(link_poses.shape[0], bool)
+        origins = link_poses[..., :3, 3]  # [C, n_links, 3]
+        base = origins[:, :1]
+        return jnp.all(
+            jnp.linalg.norm(origins - base, axis=-1) <= self.max_dist, axis=-1
+        )
+
+    # -- scoring -----------------------------------------------------------
+
+    def _score(self, qposes: jax.Array, hyp_dofs: jax.Array, K: jax.Array):
+        """Variance score per candidate + feasibility. One compiled program
+        (jitted once per explorer instance)."""
+        if not hasattr(self, "_score_jit"):
+
+            @jax.jit
+            def run(qposes, hyp_dofs, K):
+                all_poses = jax.vmap(self.chain.fk)(qposes)  # [C, n_links, 4, 4]
+                feasible = self._self_collision_free(
+                    all_poses
+                ) & self._within_workspace(all_poses)
+                lp = all_poses[:, self.link_idx]  # [C, L, 4, 4]
+                Ts = se3.exp(hyp_dofs)  # [Hh, 4, 4]
+
+                def per_candidate(lp_c):
+                    sils = self.renderer.silhouette(
+                        Ts, jnp.broadcast_to(lp_c, (Ts.shape[0],) + lp_c.shape), K
+                    )
+                    return jnp.sum(jnp.var(sils, axis=0))
+
+                var = jax.lax.map(per_candidate, lp)
+                return jnp.where(feasible, var, -jnp.inf), feasible
+
+            self._score_jit = run
+        return self._score_jit(qposes, hyp_dofs, K)
+
+    def explore(
+        self,
+        history: np.ndarray,
+        K: np.ndarray,
+        key: jax.Array | int = 0,
+        qpos_candidates: np.ndarray | None = None,
+    ) -> ExploreResult:
+        """Pick the next qpos maximizing render disagreement across the pose
+        history (reference forward(), space_explorer.py:49-197)."""
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        k1, k2 = jax.random.split(key)
+
+        hist = np.asarray(history)
+        hist = hist[min(self.history_start, max(len(hist) - 1, 0)):]
+        if len(hist) == 0:
+            raise ValueError("empty pose history")
+        sel = jax.random.randint(k1, (self.n_hypotheses,), 0, len(hist))
+        hyp_dofs = jnp.asarray(hist)[sel]
+
+        if qpos_candidates is None:
+            lo = jnp.asarray(self.chain.joint_limits[:, 0]) * self.limit_fraction
+            hi = jnp.asarray(self.chain.joint_limits[:, 1]) * self.limit_fraction
+            qposes = jax.random.uniform(
+                k2, (self.n_sample_qposes, self.chain.n_dof), minval=lo, maxval=hi
+            )
+        else:
+            qposes = jnp.asarray(qpos_candidates, jnp.float32)
+
+        var, feasible = self._score(qposes, hyp_dofs, jnp.asarray(K, jnp.float32))
+        var_np = np.asarray(var)
+        if not np.isfinite(var_np).any():
+            raise RuntimeError("no feasible qpos among candidates")
+        best = int(np.argmax(var_np))
+        return ExploreResult(
+            qpos=np.asarray(qposes[best]),
+            variance=float(var_np[best]),
+            var_all=var_np,
+            feasible=np.asarray(feasible),
+            qpos_all=np.asarray(qposes),
+        )

@@ -49,6 +49,14 @@ class RobotRenderer:
         self.tile = tile or TileConfig()
         self.mode = mode
 
+    # Identity hash/eq: lets a renderer be a static jit argument (its packed
+    # mesh arrays become baked constants of the compiled program).
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
     # -- pose plumbing -----------------------------------------------------
 
     def camera_link_poses(self, Tc_c2b: jax.Array, link_poses: jax.Array) -> jax.Array:

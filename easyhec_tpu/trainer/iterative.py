@@ -1,0 +1,176 @@
+"""Iterative (online) calibration — capture → optimize → explore → move.
+
+The RBSolverIterTrainer equivalent (reference easyhec/trainer/rbsolve_iter.py:
+34-340, call stack SURVEY.md §3.1): each round captures a frame at the
+current arm pose, re-optimizes the camera-from-base pose over ALL frames so
+far, then picks the next joint pose by consistency-based exploration and
+drives the arm there (through the host-side RRT planner).
+
+Hardware is injected through the interfaces in easyhec_tpu.io — by default a
+fully simulated rig (SimArm + SimCamera with a hidden GT extrinsic) so the
+whole loop runs closed-loop without a robot; real adapters plug in the same
+way the reference wires the xArm SDK / MoveIt / RealSense.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..config.config import Config, save_config
+from ..data.dataset import save_calib_frame
+from ..models.calib import CalibResult, calibrate, pose_metrics
+from ..models.explorer import SpaceExplorer, build_link_spheres
+from ..io.interfaces import Camera, MaskSource, RobotArm
+from ..io.planner import plan_to_qpos
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricsWriter, setup_logger
+from .offline import Runtime, build_runtime, _init_dof
+
+__all__ = ["run_iterative"]
+
+
+def run_iterative(
+    cfg: Config,
+    arm: RobotArm | None = None,
+    camera: Camera | None = None,
+    mask_source: MaskSource | None = None,
+    Tc_c2b_gt: np.ndarray | None = None,
+    K: np.ndarray | None = None,
+) -> CalibResult:
+    logger = setup_logger(cfg.output_dir)
+    out = Path(cfg.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, out / "config.yaml")
+    writer = MetricsWriter(out)
+
+    rt: Runtime = build_runtime(cfg)
+    chain = rt.chain
+
+    if arm is None or camera is None or mask_source is None:
+        # Fully simulated closed loop (no hardware): GT extrinsic hidden in
+        # the camera; required K and GT pose.
+        from ..io.interfaces import RendererMaskSource, SimArm, SimCamera
+
+        if Tc_c2b_gt is None or K is None:
+            raise ValueError("simulated run needs Tc_c2b_gt and K")
+        arm = arm or SimArm(chain.n_dof)
+        camera = camera or SimCamera(
+            rt.renderer, chain, rt.link_names, Tc_c2b_gt, K, arm
+        )
+        mask_source = mask_source or RendererMaskSource()
+
+    spheres = None
+    if cfg.explorer.self_collision_check:
+        from ..robot import load_link_meshes, parse_urdf
+
+        model = parse_urdf(cfg.model.urdf_path)
+        mesh_map = load_link_meshes(model, link_names=rt.link_names)
+        spheres = build_link_spheres(chain, mesh_map)
+
+    explorer = SpaceExplorer(
+        chain,
+        rt.renderer,
+        rt.link_names,
+        spheres=spheres,
+        n_sample_qposes=cfg.explorer.n_sample_qposes,
+        n_hypotheses=cfg.explorer.n_hypotheses,
+        history_start=cfg.explorer.history_start,
+        max_dist=cfg.explorer.max_dist if cfg.explorer.max_dist_constraint else None,
+    )
+
+    data_dir = Path(cfg.dataset.data_dir or (out / "captures"))
+    masks, qposes = [], []
+    result: CalibResult | None = None
+    dof = None
+    K_live = None
+
+    for it in range(cfg.solver.explore_iters):
+        t0 = time.time()
+        q = arm.get_qpos()
+        rgb, K_live = camera.capture()
+        mask = mask_source.predict(rgb)
+        save_calib_frame(data_dir, it, rgb, mask, q)
+        masks.append(mask)
+        qposes.append(q)
+        np.savetxt(data_dir / "K.txt", K_live)
+
+        link_idx = [chain.link_index(n) for n in rt.link_names]
+        link_poses = np.stack([chain.fk_np(qq) for qq in qposes])[:, link_idx]
+
+        if dof is None:
+            from ..data.dataset import CalibBatch
+
+            batch_stub = CalibBatch(
+                rgb=np.zeros((1, 1, 1, 3), np.uint8),
+                masks=np.asarray(masks),
+                qpos=np.asarray(qposes),
+                link_poses=link_poses.astype(np.float32),
+                K=np.asarray(K_live, np.float32),
+                Tc_c2b_gt=np.eye(4, dtype=np.float32),
+            )
+            dof = _init_dof(cfg, batch_stub)
+
+        result = calibrate(
+            dof,
+            rt.renderer,
+            link_poses.astype(np.float32),
+            np.asarray(K_live, np.float32),
+            np.stack(masks).astype(np.float32),
+            num_steps=cfg.solver.num_epochs,
+            max_lr=cfg.solver.max_lr,
+            optimizer=cfg.solver.optimizer,
+            scheduler=cfg.solver.scheduler,
+            grad_clip=cfg.solver.grad_clip,
+            sharpness=cfg.render.sharpness,
+            Tc_c2b_gt=Tc_c2b_gt,
+        )
+        dof = result.dof  # warm start the next round
+        writer.scalars(
+            it,
+            round_loss=float(result.losses[-1]),
+            n_frames=len(masks),
+            **{f"round_{k}": v for k, v in result.metrics.items()},
+        )
+        logger.info(
+            "round %d: %d frames, loss %.4f -> %.4f (%.1fs)%s",
+            it,
+            len(masks),
+            result.losses[0],
+            result.losses[-1],
+            time.time() - t0,
+            f" metrics={json.dumps(result.metrics)}" if result.metrics else "",
+        )
+        save_checkpoint(
+            out / "checkpoints" / f"round_{it:03d}",
+            {"dof": result.dof, "history": result.history, "losses": result.losses},
+            meta={"round": it, "n_frames": len(masks)},
+        )
+
+        last = it == cfg.solver.explore_iters - 1
+        if last:
+            target = np.zeros(chain.n_dof, np.float32)  # reference to_zero mode
+        else:
+            res = explorer.explore(result.history, K_live, key=it)
+            target = res.qpos
+            logger.info(
+                "explore %d: variance %.2f, %d/%d feasible",
+                it,
+                res.variance,
+                int(res.feasible.sum()),
+                len(res.feasible),
+            )
+        plan = None
+        if spheres is not None:
+            plan = plan_to_qpos(chain, spheres, q, target, seed=it)
+            if plan.get("status") != "Success":
+                logger.warning("plan to next qpos failed; commanding direct move")
+                plan = None
+        arm.move_to(target, plan)
+
+    np.savetxt(out / "Tc_c2b.txt", result.Tc_c2b)
+    (out / "metrics.json").write_text(json.dumps(result.metrics, indent=2))
+    writer.close()
+    return result

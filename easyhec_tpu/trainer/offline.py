@@ -1,0 +1,173 @@
+"""Offline calibration runner — the RBSolverTrainer-equivalent path.
+
+Reference flow (SURVEY.md §3.4): build_trainer('rbsolver') → 1000 Python-loop
+epochs of B×L rasterizer launches → get_preds. Here: build robot + renderer +
+dataset from the config, run ONE compiled `calibrate` scan, write artifacts
+(solved pose, metrics, loss trace, error maps, checkpoint).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..config.config import Config, save_config
+from ..data.dataset import CalibBatch, load_calib_dataset
+from ..models.calib import CalibResult, calibrate, pose_metrics, render_outputs
+from ..render.renderer import RobotRenderer
+from ..render.tiled import TileConfig
+from ..robot import build_chain, load_link_meshes, load_mesh, parse_urdf
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricsWriter, setup_logger
+
+__all__ = ["build_runtime", "run_offline_calibration"]
+
+
+@dataclasses.dataclass
+class Runtime:
+    """Everything the trainers need, built once from config."""
+
+    chain: object
+    renderer: RobotRenderer
+    link_names: list[str]
+    cfg: Config
+
+
+def build_runtime(cfg: Config) -> Runtime:
+    model = parse_urdf(cfg.model.urdf_path)
+    chain = build_chain(model)
+
+    if cfg.model.mesh_paths:
+        # Explicit per-link mesh files (reference style: cfg mesh_paths list,
+        # one per entry of use_links)
+        if not cfg.model.use_links:
+            raise ValueError("mesh_paths given but use_links empty")
+        link_names = list(cfg.model.use_links)
+        meshes = [load_mesh(p) for p in cfg.model.mesh_paths]
+    else:
+        link_names = list(cfg.model.use_links) or [
+            l.name for l in model.links if l.visuals
+        ]
+        mesh_map = load_link_meshes(model, link_names=link_names)
+        link_names = [n for n in link_names if n in mesh_map]
+        meshes = [mesh_map[n] for n in link_names]
+    if not meshes:
+        raise ValueError("no link meshes resolved; check urdf/mesh_paths config")
+
+    tile = TileConfig(
+        cfg.render.tile_h, cfg.render.tile_w, cfg.render.capacity, cfg.render.use_pallas
+    )
+    renderer = RobotRenderer(
+        meshes, cfg.model.H, cfg.model.W, tile=tile, mode=cfg.render.mode
+    )
+    return Runtime(chain=chain, renderer=renderer, link_names=link_names, cfg=cfg)
+
+
+def _init_dof(cfg: Config, batch: CalibBatch) -> np.ndarray:
+    from ..geometry import se3
+    import jax.numpy as jnp
+
+    if cfg.model.init_Tc_c2b is not None:
+        T = np.asarray(cfg.model.init_Tc_c2b, dtype=np.float32).reshape(4, 4)
+    elif batch.has_gt:
+        T = batch.Tc_c2b_gt  # e.g. synthetic smoke runs; perturb upstream
+    else:
+        raise ValueError(
+            "no initial pose: set model.init_Tc_c2b (or provide dataset GT)"
+        )
+    return np.asarray(se3.log(jnp.asarray(T)))
+
+
+def run_offline_calibration(
+    cfg: Config, batch: CalibBatch | None = None, init_dof: np.ndarray | None = None
+) -> CalibResult:
+    logger = setup_logger(cfg.output_dir)
+    out = Path(cfg.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, out / "config.yaml")
+
+    rt = build_runtime(cfg)
+    if batch is None:
+        batch = load_calib_dataset(cfg.dataset.data_dir, rt.chain, rt.link_names)
+    logger.info(
+        "dataset: %d frames %dx%d, links=%s",
+        batch.n_frames,
+        cfg.model.H,
+        cfg.model.W,
+        rt.link_names,
+    )
+    if init_dof is None:
+        init_dof = _init_dof(cfg, batch)
+
+    t0 = time.time()
+    result = calibrate(
+        init_dof,
+        rt.renderer,
+        batch.link_poses,
+        batch.K,
+        batch.masks,
+        num_steps=cfg.solver.num_epochs,
+        max_lr=cfg.solver.max_lr,
+        optimizer=cfg.solver.optimizer,
+        scheduler=cfg.solver.scheduler,
+        grad_clip=cfg.solver.grad_clip,
+        sharpness=cfg.render.sharpness,
+        Tc_c2b_gt=batch.Tc_c2b_gt if batch.has_gt else None,
+    )
+    dt = time.time() - t0
+    logger.info(
+        "calibrated %d steps in %.1fs (%.1f steps/s); final loss %.4f",
+        cfg.solver.num_epochs,
+        dt,
+        cfg.solver.num_epochs / dt,
+        result.losses[-1],
+    )
+    if result.metrics:
+        logger.info("metrics vs GT: %s", json.dumps(result.metrics))
+
+    # Artifacts
+    writer = MetricsWriter(out, tensorboard=False)
+    stride = max(1, cfg.solver.log_interval)
+    for s in range(0, len(result.losses), stride):
+        writer.scalars(s, mask_loss=float(result.losses[s]))
+    writer.close()
+    np.savetxt(out / "Tc_c2b.txt", result.Tc_c2b)
+    (out / "metrics.json").write_text(json.dumps(result.metrics, indent=2))
+    save_checkpoint(
+        out / "checkpoints" / "final",
+        {"dof": result.dof, "history": result.history, "losses": result.losses},
+        meta={"num_steps": cfg.solver.num_epochs, "wall_time_s": dt},
+    )
+    try:
+        outputs = render_outputs(
+            result.dof, rt.renderer, batch.link_poses, batch.K, batch.masks
+        )
+        _save_error_panel(out / "error_maps.png", outputs)
+    except Exception as e:  # pragma: no cover - viz is best-effort
+        logger.warning("error-map panel failed: %s", e)
+    return result
+
+
+def _save_error_panel(path: Path, outputs: dict, max_frames: int = 4) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = min(max_frames, outputs["rendered_masks"].shape[0])
+    fig, axes = plt.subplots(3, n, figsize=(3 * n, 9), squeeze=False)
+    for i in range(n):
+        axes[0][i].imshow(outputs["rendered_masks"][i], cmap="gray")
+        axes[0][i].set_title(f"rendered {i}")
+        axes[1][i].imshow(outputs["ref_masks"][i], cmap="gray")
+        axes[1][i].set_title(f"reference {i}")
+        axes[2][i].imshow(outputs["error_maps"][i], cmap="hot")
+        axes[2][i].set_title(f"|error| {i}")
+        for r in range(3):
+            axes[r][i].axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=60)
+    plt.close(fig)

@@ -1,0 +1,148 @@
+"""Space explorer, collision spheres, RRT planner, and the full simulated
+iterative loop (capture -> optimize -> explore -> move)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easyhec_tpu.config import Config
+from easyhec_tpu.data.synthetic import default_camera
+from easyhec_tpu.geometry import se3
+from easyhec_tpu.io.planner import CollisionModel, RRTPlanner, plan_to_qpos, time_parameterize
+from easyhec_tpu.models.explorer import SpaceExplorer, build_link_spheres
+from easyhec_tpu.render import RobotRenderer, TileConfig
+from easyhec_tpu.robot import build_chain, load_link_meshes, parse_urdf
+
+from test_e2e_calib import ARM_URDF, H, W, K
+
+
+@pytest.fixture(scope="module")
+def rig(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("xrig")
+    urdf = tmp / "mini_arm.urdf"
+    urdf.write_text(ARM_URDF)
+    model = parse_urdf(urdf)
+    chain = build_chain(model)
+    link_names = ["base", "upper", "fore"]
+    meshes = load_link_meshes(model, link_names=link_names)
+    renderer = RobotRenderer(
+        [meshes[n] for n in link_names], H, W, tile=TileConfig(16, 32, 64), mode="tiled"
+    )
+    spheres = build_link_spheres(chain, meshes)
+    return urdf, chain, renderer, link_names, meshes, spheres, tmp
+
+
+class TestSpheres:
+    def test_sphere_cover(self, rig):
+        _, chain, _, _, meshes, spheres, _ = rig
+        # Every mesh vertex must be inside some sphere of its link
+        for i, n in enumerate(meshes):
+            v = meshes[n].vertices
+            d = np.linalg.norm(v[:, None, :] - spheres.centers[i][None], axis=-1)
+            ok = (d <= spheres.radii[i][None] + 1e-5).any(axis=1)
+            assert ok.mean() > 0.99, (n, ok.mean())
+
+    def test_pair_mask_skips_adjacent(self, rig):
+        *_, spheres, _ = rig
+        assert not spheres.pair_mask[0, 1]  # adjacent
+        assert spheres.pair_mask[0, 2]  # base vs fore checked
+
+
+class TestExplorer:
+    def test_explore_selects_feasible_max_variance(self, rig):
+        _, chain, renderer, link_names, _, spheres, _ = rig
+        explorer = SpaceExplorer(
+            chain,
+            renderer,
+            link_names,
+            spheres=spheres,
+            n_sample_qposes=32,
+            n_hypotheses=4,
+            history_start=0,
+            max_dist=2.0,
+        )
+        # History: GT pose + noisy hypotheses
+        Tc = default_camera(distance=1.0, azimuth_deg=30, height=0.6, target=(0, 0, 0.3))
+        gt = np.asarray(se3.log(jnp.asarray(Tc)))
+        history = gt[None] + np.random.default_rng(0).normal(0, 0.01, (50, 6))
+        res = explorer.explore(history.astype(np.float32), K, key=0)
+        assert res.qpos.shape == (chain.n_dof,)
+        assert np.isfinite(res.variance) and res.variance > 0
+        assert res.feasible.any()
+        # The chosen candidate must be the max among feasible
+        assert res.variance == res.var_all.max()
+
+    def test_identical_hypotheses_zero_variance(self, rig):
+        _, chain, renderer, link_names, _, _, _ = rig
+        explorer = SpaceExplorer(
+            chain, renderer, link_names, spheres=None,
+            n_sample_qposes=8, n_hypotheses=3, history_start=0, max_dist=None,
+        )
+        Tc = default_camera(distance=1.0, azimuth_deg=30, height=0.6, target=(0, 0, 0.3))
+        gt = np.asarray(se3.log(jnp.asarray(Tc)))
+        history = np.repeat(gt[None], 20, axis=0)  # no disagreement
+        res = explorer.explore(history.astype(np.float32), K, key=1)
+        assert abs(res.variance) < 1e-6
+
+
+class TestPlanner:
+    def test_straight_line_when_free(self, rig):
+        _, chain, _, _, _, spheres, _ = rig
+        q0 = np.zeros(chain.n_dof)
+        q1 = np.asarray([0.5, 0.3])
+        plan = plan_to_qpos(chain, spheres, q0, q1, dt=0.05)
+        assert plan["status"] == "Success"
+        np.testing.assert_allclose(plan["position"][0], q0, atol=1e-6)
+        np.testing.assert_allclose(plan["position"][-1], q1, atol=1e-2)
+        # velocity respects v_max on every joint
+        assert np.abs(plan["velocity"]).max() <= 0.3 * 1.3
+
+    def test_env_obstacle_forces_failure_or_detour(self, rig):
+        _, chain, _, _, _, spheres, _ = rig
+        # Wall of points blocking everything near the arm
+        grid = np.mgrid[-1:1:21j, -1:1:21j, 0:1:11j].reshape(3, -1).T
+        model = CollisionModel(chain, spheres, env_points=grid.astype(np.float32))
+        assert model.in_collision(np.zeros(chain.n_dof))
+
+    def test_time_param_trapezoid(self):
+        path = [np.zeros(2), np.array([1.0, 0.0])]
+        plan = time_parameterize(path, v_max=0.5, a_max=1.0, dt=0.01)
+        assert plan["status"] == "Success"
+        assert abs(np.abs(plan["velocity"]).max() - 0.5) < 0.05
+        # duration = accel 0.5s + cruise (1-0.25)/0.5=1.5s + decel 0.5s
+        assert abs(plan["duration"] - 2.5) < 0.1
+
+
+class TestIterativeSimLoop:
+    def test_closed_loop_recovers_pose(self, rig, tmp_path):
+        urdf, chain, renderer, link_names, _, _, _ = rig
+        cfg = Config()
+        cfg.model.urdf_path = str(urdf)
+        cfg.model.use_links = link_names
+        cfg.model.H, cfg.model.W = H, W
+        cfg.render.tile_h, cfg.render.tile_w, cfg.render.capacity = 16, 32, 64
+        cfg.solver.num_epochs = 200
+        cfg.solver.explore_iters = 3
+        cfg.explorer.n_sample_qposes = 24
+        cfg.explorer.n_hypotheses = 4
+        cfg.explorer.history_start = 50
+        cfg.explorer.self_collision_check = True
+        cfg.dataset.data_dir = str(tmp_path / "captures")
+        cfg.output_dir = str(tmp_path / "run")
+
+        Tc = default_camera(distance=1.0, azimuth_deg=30, height=0.6, target=(0, 0, 0.3))
+        gt_dof = np.asarray(se3.log(jnp.asarray(Tc)))
+        init = gt_dof + np.array([0.04, -0.03, 0.02, 0.03, -0.03, 0.03], np.float32)
+        cfg.model.init_Tc_c2b = np.asarray(se3.exp(jnp.asarray(init))).tolist()
+
+        from easyhec_tpu.trainer import run_iterative
+
+        result = run_iterative(cfg, Tc_c2b_gt=Tc, K=K)
+        assert result.metrics["err_trans_geodesic_cm"] < 1.5, result.metrics
+        assert result.metrics["err_rot_geodesic_deg"] < 1.5, result.metrics
+        # Captures written in the reference-compatible layout
+        caps = tmp_path / "captures"
+        assert len(list((caps / "mask").glob("*.png"))) == 3
+        assert (caps / "K.txt").exists()
+        # Round checkpoints exist
+        assert (tmp_path / "run" / "checkpoints" / "round_002.npz").exists()
