@@ -1,0 +1,129 @@
+"""Multi-device sharding correctness on the virtual 8-device CPU mesh —
+test coverage the reference never had for its DDP scaffold (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easyhec_tpu.geometry import se3
+from easyhec_tpu.models.calib import mask_loss
+from easyhec_tpu.parallel import (
+    make_mesh,
+    pad_frames,
+    sharded_calibrate,
+    sharded_mask_loss,
+    sharded_silhouette,
+)
+from easyhec_tpu.render import RobotRenderer, TileConfig
+from easyhec_tpu.robot import build_chain, load_link_meshes, parse_urdf
+
+from test_e2e_calib import ARM_URDF
+
+W = 64
+BAND_H = 32
+N_TILE = 2
+H = BAND_H * N_TILE
+K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def rig(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("shard")
+    urdf = tmp / "mini.urdf"
+    urdf.write_text(ARM_URDF)
+    model = parse_urdf(urdf)
+    chain = build_chain(model)
+    links = ["base", "upper", "fore"]
+    meshes = load_link_meshes(model, link_names=links)
+    full = RobotRenderer([meshes[n] for n in links], H, W, tile=TileConfig(16, 32, 64))
+    band = RobotRenderer([meshes[n] for n in links], BAND_H, W, tile=TileConfig(16, 32, 64))
+    link_idx = jnp.asarray([chain.link_index(n) for n in links])
+    return chain, full, band, link_idx
+
+
+def _scene(chain, link_idx, B=4):
+    qposes = jnp.linspace(-0.5, 0.5, B * chain.n_dof).reshape(B, chain.n_dof)
+    lp = jax.vmap(chain.fk)(qposes)[:, link_idx]
+    Tc = np.eye(4, dtype=np.float32)
+    Tc[2, 3] = 1.2
+    return lp, Tc
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestSharding:
+    def test_sharded_silhouette_matches_single(self, rig):
+        chain, full, band, link_idx = rig
+        lp, Tc = _scene(chain, link_idx, B=4)
+        mesh = make_mesh(4, N_TILE)
+        render = sharded_silhouette(band, mesh, BAND_H)
+        out = np.asarray(render(jnp.asarray(Tc), lp, jnp.asarray(K)))
+        ref = np.asarray(full.silhouette(jnp.asarray(Tc), lp, jnp.asarray(K)))
+        assert out.shape == ref.shape == (4, H, W)
+        assert ref.max() == 1.0  # robot visible
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_sharded_loss_matches_single(self, rig):
+        chain, full, band, link_idx = rig
+        lp, Tc = _scene(chain, link_idx, B=3)  # B not divisible by shards
+        dof = se3.log(jnp.asarray(Tc))
+        target = full.silhouette(se3.exp(dof + 0.01), lp, jnp.asarray(K))
+
+        ref_loss = float(mask_loss(dof, full, lp, jnp.asarray(K), target))
+
+        mesh = make_mesh(4, N_TILE)
+        lp_p, w = pad_frames(np.asarray(lp), 4)
+        m_p, _ = pad_frames(np.asarray(target), 4)
+        loss_fn = sharded_mask_loss(band, mesh, BAND_H)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        got = float(
+            loss_fn(
+                dof,
+                jax.device_put(jnp.asarray(lp_p), NamedSharding(mesh, P("data"))),
+                jnp.asarray(K),
+                jax.device_put(jnp.asarray(m_p), NamedSharding(mesh, P("data", "tile"))),
+                jax.device_put(jnp.asarray(w), NamedSharding(mesh, P("data"))),
+            )
+        )
+        np.testing.assert_allclose(got, ref_loss, rtol=1e-4)
+
+    def test_sharded_calibrate_converges(self, rig):
+        chain, full, band, link_idx = rig
+        lp, Tc = _scene(chain, link_idx, B=4)
+        gt_dof = np.asarray(se3.log(jnp.asarray(Tc)))
+        target = np.asarray(full.silhouette(jnp.asarray(Tc), lp, jnp.asarray(K)))
+        mesh = make_mesh(4, N_TILE)
+        init = gt_dof + np.asarray([0.02, -0.02, 0.02, 0.02, -0.01, 0.02], np.float32)
+        dof, losses, history = sharded_calibrate(
+            init, band, mesh, np.asarray(lp), K, target, num_steps=150, max_lr=3e-3
+        )
+        losses = np.asarray(losses)
+        assert losses[-1] < 0.2 * losses[0], losses[::30]
+        err = np.abs(np.asarray(dof) - gt_dof)
+        assert err.max() < 0.02, err
+        assert history.shape == (150, 6)
+
+    def test_grad_matches_single_device(self, rig):
+        chain, full, band, link_idx = rig
+        lp, Tc = _scene(chain, link_idx, B=4)
+        dof = se3.log(jnp.asarray(Tc)) + 0.01
+        target = full.silhouette(se3.exp(se3.log(jnp.asarray(Tc))), lp, jnp.asarray(K))
+
+        g_ref = jax.grad(lambda d: mask_loss(d, full, lp, jnp.asarray(K), target))(dof)
+
+        mesh = make_mesh(4, N_TILE)
+        loss_fn = sharded_mask_loss(band, mesh, BAND_H)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lp_p, w = pad_frames(np.asarray(lp), 4)
+        m_p, _ = pad_frames(np.asarray(target), 4)
+        g = jax.grad(
+            lambda d: loss_fn(
+                d,
+                jax.device_put(jnp.asarray(lp_p), NamedSharding(mesh, P("data"))),
+                jnp.asarray(K),
+                jax.device_put(jnp.asarray(m_p), NamedSharding(mesh, P("data", "tile"))),
+                jax.device_put(jnp.asarray(w), NamedSharding(mesh, P("data"))),
+            )
+        )(dof)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=2e-3, atol=1e-2)
