@@ -8,4 +8,14 @@ map this framework mirrors, and README.md for the architecture.
 
 __version__ = "0.1.0"
 
-from . import geometry  # noqa: F401
+import os as _os
+
+if _os.environ.get("EASYHEC_PLATFORM"):
+    # Escape hatch for environments where jax is pre-imported by a
+    # sitecustomize hook (so JAX_PLATFORMS is read too early to matter):
+    # EASYHEC_PLATFORM=cpu forces the backend before any computation runs.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["EASYHEC_PLATFORM"])
+
+from . import geometry  # noqa: F401,E402

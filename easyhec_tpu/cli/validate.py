@@ -1,0 +1,79 @@
+"""Validation tool: overlay solved-pose renders on captured images.
+
+Replacement for tools/validate.py (reference: loads last ckpt dof, renders
+each frame's arm mask, overlays into Wis3D — tools/validate.py:13-52). Here
+overlays are written as PNGs plus per-frame IoU stats printed as JSON.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def overlay(rgb: np.ndarray, mask: np.ndarray, color=(0, 200, 255), alpha=0.55):
+    out = rgb.astype(np.float32).copy()
+    m = mask > 0.5
+    for c in range(3):
+        out[..., c] = np.where(m, (1 - alpha) * out[..., c] + alpha * color[c], out[..., c])
+    return out.astype(np.uint8)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="overlay solved-pose renders")
+    ap.add_argument("-c", "--config-file", required=True)
+    ap.add_argument("--ckpt", default=None, help="checkpoint (.npz); default: latest in output_dir")
+    ap.add_argument("--out", default=None, help="overlay output dir")
+    ap.add_argument("opts", nargs="*")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..config import load_config
+    from ..data import load_calib_dataset
+    from ..geometry import se3
+    from ..models.calib import render_outputs
+    from ..trainer import build_runtime
+    from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+
+    cfg = load_config(args.config_file, args.opts)
+    rt = build_runtime(cfg)
+    batch = load_calib_dataset(cfg.dataset.data_dir, rt.chain, rt.link_names)
+
+    ckpt = args.ckpt or latest_checkpoint(Path(cfg.output_dir) / "checkpoints")
+    if ckpt is None:
+        raise SystemExit(f"no checkpoint under {cfg.output_dir}/checkpoints")
+    arrays, _ = load_checkpoint(ckpt)
+    dof = arrays["dof"]
+
+    outputs = render_outputs(dof, rt.renderer, batch.link_poses, batch.K, batch.masks)
+    rendered = outputs["rendered_masks"]
+    out_dir = Path(args.out or (Path(cfg.output_dir) / "validate"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    import cv2
+
+    stats = []
+    for i in range(batch.n_frames):
+        ov = overlay(batch.rgb[i], rendered[i])
+        cv2.imwrite(str(out_dir / f"overlay_{i:06d}.png"), cv2.cvtColor(ov, cv2.COLOR_RGB2BGR))
+        a = rendered[i] > 0.5
+        b = batch.masks[i] > 0.5
+        iou = float((a & b).sum() / max((a | b).sum(), 1))
+        stats.append({"frame": i, "iou": round(iou, 4)})
+    Tc = np.asarray(se3.exp(jnp.asarray(dof)))
+    report = {
+        "checkpoint": str(ckpt),
+        "Tc_c2b": Tc.tolist(),
+        "mean_iou": round(float(np.mean([s["iou"] for s in stats])), 4),
+        "frames": stats,
+    }
+    (out_dir / "report.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
