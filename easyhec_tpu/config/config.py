@@ -49,6 +49,7 @@ class ModelConfig:
     init_Tc_c2b: list[list[float]] | None = None  # 4x4 row-major; None = from dataset/lookat
     H: int = 480
     W: int = 640
+    decimate_voxel: float = 0.0  # >0: vertex-clustering mesh decimation (m)
     history_size: int = 10000  # pose-hypothesis ring buffer (reference: rb_solver.py:39)
 
 

@@ -90,6 +90,7 @@ def pose_metrics(dof: jax.Array | np.ndarray, Tc_c2b_gt: np.ndarray) -> dict[str
     jax.jit,
     static_argnames=(
         "renderer",
+        "chunk",
         "num_steps",
         "max_lr",
         "optimizer_name",
@@ -98,12 +99,14 @@ def pose_metrics(dof: jax.Array | np.ndarray, Tc_c2b_gt: np.ndarray) -> dict[str
         "sharpness",
     ),
 )
-def _calibrate_scan(
-    init_dof: jax.Array,
+def _calibrate_chunk(
+    dof: jax.Array,
+    opt_state,
     link_poses: jax.Array,
     K: jax.Array,
     masks_ref: jax.Array,
     renderer: RobotRenderer,
+    chunk: int,
     num_steps: int,
     max_lr: float,
     optimizer_name: str,
@@ -111,6 +114,13 @@ def _calibrate_scan(
     grad_clip: float,
     sharpness: float,
 ):
+    """`chunk` optimization steps as one lax.scan dispatch.
+
+    The full run is split into bounded dispatches (calibrate() loops chunks,
+    carrying dof+opt_state): remote/tunneled TPU runtimes enforce per-dispatch
+    watchdogs that a single 1000-step program can trip, and chunking costs
+    nothing (the chunk program compiles once).
+    """
     opt = make_optimizer(
         optimizer_name,
         max_lr=max_lr,
@@ -131,10 +141,58 @@ def _calibrate_scan(
         # which logs history_ops at the start of forward — rb_solver.py:50-51)
         return (dof_new, opt_state), (loss, dof)
 
-    (dof, _), (losses, history) = jax.lax.scan(
-        step, (init_dof, opt.init(init_dof)), None, length=num_steps
+    (dof, opt_state), (losses, history) = jax.lax.scan(
+        step, (dof, opt_state), None, length=chunk
     )
-    return dof, losses, history
+    return dof, opt_state, losses, history
+
+
+def _calibrate_scan(
+    init_dof: jax.Array,
+    link_poses: jax.Array,
+    K: jax.Array,
+    masks_ref: jax.Array,
+    renderer: RobotRenderer,
+    num_steps: int,
+    max_lr: float,
+    optimizer_name: str,
+    scheduler: str,
+    grad_clip: float,
+    sharpness: float,
+    chunk: int = 50,
+):
+    opt = make_optimizer(
+        optimizer_name,
+        max_lr=max_lr,
+        total_steps=num_steps,
+        scheduler=scheduler,
+        grad_clip=grad_clip,
+    )
+    dof = init_dof
+    opt_state = opt.init(init_dof)
+    losses, history = [], []
+    done = 0
+    while done < num_steps:
+        n = min(chunk, num_steps - done)
+        dof, opt_state, l, h = _calibrate_chunk(
+            dof,
+            opt_state,
+            link_poses,
+            K,
+            masks_ref,
+            renderer,
+            n,
+            num_steps,
+            max_lr,
+            optimizer_name,
+            scheduler,
+            grad_clip,
+            sharpness,
+        )
+        losses.append(l)
+        history.append(h)
+        done += n
+    return dof, jnp.concatenate(losses), jnp.concatenate(history)
 
 
 def calibrate(
@@ -195,3 +253,78 @@ def render_outputs(
         "ref_masks": ref,
         "error_maps": np.abs(sil - ref),
     }
+
+
+def downscale_mask(masks: np.ndarray, s: int) -> np.ndarray:
+    """Average-pool masks by integer factor s (soft targets at coarse scale)."""
+    if s == 1:
+        return np.asarray(masks, np.float32)
+    m = np.asarray(masks, np.float32)
+    B, H, W = m.shape
+    H2, W2 = H // s * s, W // s * s
+    m = m[:, :H2, :W2].reshape(B, H2 // s, s, W2 // s, s).mean(axis=(2, 4))
+    return m
+
+
+def downscale_K(K: np.ndarray, s: int) -> np.ndarray:
+    """Intrinsics for an s-times downsampled image (pixel-center exact)."""
+    K = np.asarray(K, np.float64).copy()
+    if s == 1:
+        return K.astype(np.float32)
+    K[0, 0] /= s
+    K[1, 1] /= s
+    K[0, 2] = (K[0, 2] + 0.5) / s - 0.5
+    K[1, 2] = (K[1, 2] + 0.5) / s - 0.5
+    return K.astype(np.float32)
+
+
+def calibrate_multires(
+    init_dof,
+    renderers: dict[int, RobotRenderer],
+    link_poses,
+    K,
+    masks_ref,
+    steps_per_scale: dict[int, int],
+    max_lr: float = 3e-3,
+    optimizer: str = "adam",
+    scheduler: str = "constant",
+    grad_clip: float = 0.0,
+    sharpness: float = 1.0,
+    Tc_c2b_gt: np.ndarray | None = None,
+) -> CalibResult:
+    """Coarse-to-fine calibration: run at each scale (descending), warm-
+    starting the next. A 1-px gradient band at 1/4 resolution is a 4-px
+    basin at full resolution — extends capture range beyond the reference's
+    single-scale optimization while cutting early-step cost 16x."""
+    dof = np.asarray(init_dof, np.float32)
+    all_losses, all_hist = [], []
+    for s in sorted(steps_per_scale, reverse=True):
+        n = steps_per_scale[s]
+        if n <= 0:
+            continue
+        res = calibrate(
+            dof,
+            renderers[s],
+            link_poses,
+            downscale_K(np.asarray(K), s),
+            downscale_mask(np.asarray(masks_ref), s),
+            num_steps=n,
+            max_lr=max_lr,
+            optimizer=optimizer,
+            scheduler=scheduler,
+            grad_clip=grad_clip,
+            sharpness=sharpness,
+        )
+        dof = res.dof
+        all_losses.append(res.losses)
+        all_hist.append(res.history)
+    metrics = pose_metrics(dof, Tc_c2b_gt) if Tc_c2b_gt is not None else {}
+    import jax.numpy as jnp
+
+    return CalibResult(
+        dof=dof,
+        Tc_c2b=np.asarray(se3.exp(jnp.asarray(dof))),
+        losses=np.concatenate(all_losses),
+        history=np.concatenate(all_hist),
+        metrics=metrics,
+    )

@@ -547,3 +547,27 @@ def pack_meshes(meshes: list[TriMesh]) -> PackedMesh:
         vert_mesh_id=np.concatenate(v_id),
         n_meshes=len(meshes),
     )
+
+
+def decimate_vertex_clustering(mesh: TriMesh, voxel: float) -> TriMesh:
+    """Vertex-clustering decimation: snap vertices to a voxel grid, weld,
+    drop degenerate faces. Crude but ideal for silhouette rendering (the
+    silhouette is insensitive to sub-voxel surface detail), and it slashes
+    the per-tile triangle counts that bound rasterizer work."""
+    if voxel <= 0:
+        return mesh
+    keys = np.floor(mesh.vertices / voxel).astype(np.int64)
+    # Unique voxel per vertex -> representative = mean of cluster
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    reps = np.zeros((len(uniq), 3), np.float64)
+    counts = np.zeros(len(uniq), np.int64)
+    np.add.at(reps, inv, mesh.vertices.astype(np.float64))
+    np.add.at(counts, inv, 1)
+    reps = (reps / counts[:, None]).astype(np.float32)
+    faces = inv[mesh.faces]
+    ok = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return TriMesh(reps, faces[ok].astype(np.int32))

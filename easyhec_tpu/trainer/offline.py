@@ -56,6 +56,12 @@ def build_runtime(cfg: Config) -> Runtime:
         meshes = [mesh_map[n] for n in link_names]
     if not meshes:
         raise ValueError("no link meshes resolved; check urdf/mesh_paths config")
+    if cfg.model.decimate_voxel > 0:
+        from ..robot.mesh import decimate_vertex_clustering
+
+        meshes = [
+            decimate_vertex_clustering(m, cfg.model.decimate_voxel) for m in meshes
+        ]
 
     tile = TileConfig(
         cfg.render.tile_h, cfg.render.tile_w, cfg.render.capacity, cfg.render.use_pallas
