@@ -146,3 +146,42 @@ class TestIterativeSimLoop:
         assert (caps / "K.txt").exists()
         # Round checkpoints exist
         assert (tmp_path / "run" / "checkpoints" / "round_002.npz").exists()
+
+
+class TestNativePlanner:
+    def test_native_matches_python(self, rig):
+        from easyhec_tpu.io.native_planner import (
+            NativePlanner,
+            native_available,
+            plan_to_qpos_native,
+        )
+
+        if not native_available():
+            pytest.skip("libezplan.so not built")
+        _, chain, _, _, _, spheres, _ = rig
+        planner = NativePlanner(chain, spheres)
+        # FK parity with the Python chain
+        q = np.asarray([0.4, -0.6])
+        np.testing.assert_allclose(planner.fk(q), chain.fk_np(q), atol=1e-5)
+        # Collision parity on a sweep
+        from easyhec_tpu.io.planner import CollisionModel
+
+        pymodel = CollisionModel(chain, spheres)
+        rng = np.random.default_rng(0)
+        qs = rng.uniform(chain.joint_limits[:, 0], chain.joint_limits[:, 1], (50, 2))
+        agree = [planner.in_collision(q) == pymodel.in_collision(q) for q in qs]
+        assert np.mean(agree) == 1.0
+        # End-to-end plan with timing contract
+        plan = plan_to_qpos_native(chain, spheres, np.zeros(2), np.asarray([0.5, 0.3]))
+        assert plan["status"] == "Success"
+        np.testing.assert_allclose(plan["position"][-1], [0.5, 0.3], atol=1e-2)
+
+    def test_native_env_collision(self, rig):
+        from easyhec_tpu.io.native_planner import NativePlanner, native_available
+
+        if not native_available():
+            pytest.skip("libezplan.so not built")
+        _, chain, _, _, _, spheres, _ = rig
+        grid = np.mgrid[-1:1:21j, -1:1:21j, 0:1:11j].reshape(3, -1).T
+        planner = NativePlanner(chain, spheres, env_points=grid)
+        assert planner.in_collision(np.zeros(chain.n_dof))
