@@ -10,6 +10,21 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# Persistent compilation cache: TPU compiles of the tiled rasterizer take
+# minutes over a remote-compile tunnel; cache them across processes.
+if not _os.environ.get("EASYHEC_NO_COMPILE_CACHE"):
+    import jax as _jax_cc
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/easyhec_tpu_jax"),
+    )
+    try:
+        _jax_cc.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 if _os.environ.get("EASYHEC_PLATFORM"):
     # Escape hatch for environments where jax is pre-imported by a
     # sitecustomize hook (so JAX_PLATFORMS is read too early to matter):
