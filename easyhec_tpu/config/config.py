@@ -61,6 +61,7 @@ class SolverConfig:
     num_epochs: int = 1000  # optimization steps per round (1 step = full batch)
     explore_iters: int = 5
     grad_clip: float = 0.0  # 0 = off
+    robust_delta: float = 0.0  # >0: Huber downweighting of outlier frames
     weight_decay: float = 0.0
     log_interval: int = 100
     save_freq: int = 100

@@ -45,14 +45,28 @@ def mask_loss(
     K: jax.Array,
     masks_ref: jax.Array,
     sharpness: float = 1.0,
+    robust_delta: float = 0.0,
 ) -> jax.Array:
     """Σ_pixels (rendered − ref)² per frame, mean over frames.
 
     Exact reference semantics (rb_solver.py:70-72): per-frame SUM of squared
     error, then MEAN over frames.
+
+    robust_delta > 0 applies a Huber rho to the per-frame NORMALIZED error
+    (per-frame loss divided by the frame's mask area): real capture sets
+    contain frames whose qpos/mask pairing is slightly off (sync, backlash,
+    annotation); quadratic averaging lets those outlier frames drag the pose
+    away from the consistent majority. delta is in units of mean squared
+    error per mask pixel (≈0.3 is a reasonable setting).
     """
     sil = renderer.silhouette(se3.exp(dof), link_poses, K, sharpness)
     per_frame = jnp.sum((sil - masks_ref) ** 2, axis=(-2, -1))
+    if robust_delta > 0:
+        area = jnp.maximum(jnp.sum(masks_ref, axis=(-2, -1)), 1.0)
+        norm = per_frame / area
+        d = robust_delta
+        rho = jnp.where(norm <= d, norm, 2.0 * jnp.sqrt(norm * d) - d)
+        return jnp.mean(rho * area)
     return jnp.mean(per_frame)
 
 
@@ -97,6 +111,7 @@ def pose_metrics(dof: jax.Array | np.ndarray, Tc_c2b_gt: np.ndarray) -> dict[str
         "scheduler",
         "grad_clip",
         "sharpness",
+        "robust_delta",
     ),
 )
 def _calibrate_chunk(
@@ -113,6 +128,7 @@ def _calibrate_chunk(
     scheduler: str,
     grad_clip: float,
     sharpness: float,
+    robust_delta: float,
 ):
     """`chunk` optimization steps as one lax.scan dispatch.
 
@@ -129,7 +145,9 @@ def _calibrate_chunk(
         grad_clip=grad_clip,
     )
     loss_g = jax.value_and_grad(
-        lambda d: mask_loss(d, renderer, link_poses, K, masks_ref, sharpness)
+        lambda d: mask_loss(
+            d, renderer, link_poses, K, masks_ref, sharpness, robust_delta
+        )
     )
 
     def step(carry, _):
@@ -159,6 +177,7 @@ def _calibrate_scan(
     scheduler: str,
     grad_clip: float,
     sharpness: float,
+    robust_delta: float = 0.0,
     chunk: int = 50,
 ):
     opt = make_optimizer(
@@ -188,6 +207,7 @@ def _calibrate_scan(
             scheduler,
             grad_clip,
             sharpness,
+            robust_delta,
         )
         losses.append(l)
         history.append(h)
@@ -207,6 +227,7 @@ def calibrate(
     scheduler: str = "constant",
     grad_clip: float = 0.0,
     sharpness: float = 1.0,
+    robust_delta: float = 0.0,
     Tc_c2b_gt: np.ndarray | None = None,
 ) -> CalibResult:
     """Run the full mask-loss pose optimization as one compiled program."""
@@ -222,6 +243,7 @@ def calibrate(
         scheduler,
         float(grad_clip),
         float(sharpness),
+        float(robust_delta),
     )
     dof_np = np.asarray(dof)
     metrics = (

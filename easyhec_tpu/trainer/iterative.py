@@ -125,6 +125,7 @@ def run_iterative(
             scheduler=cfg.solver.scheduler,
             grad_clip=cfg.solver.grad_clip,
             sharpness=cfg.render.sharpness,
+            robust_delta=cfg.solver.robust_delta,
             Tc_c2b_gt=Tc_c2b_gt,
         )
         dof = result.dof  # warm start the next round

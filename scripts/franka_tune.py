@@ -27,6 +27,7 @@ start = np.loadtxt("runs/franka_offline/Tc_c2b.txt").astype(np.float32) if name=
 dof0 = np.asarray(se3.log(jnp.asarray(start)))
 t0=time.time()
 res = calibrate(dof0, rt.renderer, batch.link_poses, batch.K, batch.masks,
-                num_steps=steps, max_lr=lr, sharpness=sharp)
+                num_steps=steps, max_lr=lr, sharpness=sharp,
+                robust_delta=cfg.solver.robust_delta)
 print(f"{name}: steps={steps} lr={lr} sharp={sharp} loss {res.losses[0]:.0f}->{res.losses[-1]:.0f} "
       f"mIoU={miou(res.Tc_c2b):.3f} ({time.time()-t0:.0f}s)")
