@@ -55,7 +55,7 @@ def build_scene():
         mesh_list = [meshes[n] for n in names]
 
     H, W = 480, 640
-    renderer = RobotRenderer(mesh_list, H, W, tile=TileConfig(32, 128, 512))
+    renderer = RobotRenderer(mesh_list, H, W, tile=TileConfig(8, 128, 256))
     link_idx = jnp.asarray([chain.link_index(n) for n in names])
     return chain, renderer, link_idx, H, W
 

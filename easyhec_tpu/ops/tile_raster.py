@@ -7,23 +7,28 @@ easyhec/structures/nvdiffrast_renderer.py:39-47) at the innermost level.
 Why a kernel at all: the XLA version of the tile evaluation materializes
 [P, cap] distance arrays per tile (HBM traffic) and its autodiff either
 saves them (OOM at 640×480×10 frames) or rematerializes through a second
-full pass with poor fusion. Here:
+full pass with poor fusion. Here no per-pixel-per-triangle intermediate
+ever touches HBM, forward or backward.
 
-- forward: for each (frame, tile) grid cell, loop over the tile's actual
-  triangle count (scalar-prefetched — work is proportional to occupancy,
-  not bin capacity), evaluating signed-distance coverage on a
-  [tile_h, tile_w] pixel block held in registers/VMEM. One HBM write per
-  tile: the accumulated coverage. No intermediate ever touches HBM.
-- backward: analytic. Recomputes per-triangle coverage (cheap, VMEM-local),
-  masks by the saved pre-clip accumulator (union clip), and reduces
-  d(loss)/d(edge coefficients a,b,c per edge) and d(loss)/d(bbox) per
-  triangle — 13 scalars — directly in the kernel. The cotangents then flow
-  back through the (XLA-differentiated) gather/setup to vertex positions
-  and the SE(3) pose.
+Layout is everything on TPU. Triangle records are **field-major** per tile:
 
-Triangle record layout (16 f32 lanes, last 3 padding):
-  [a0 b0 c0 a1 b1 c1 a2 b2 c2 lox loy hix hiy 0 0 0]
-with edge functions already shifted into tile-local pixel coordinates.
+    tri: [B, n_tiles, 16, cap] f32
+    fields (sublane axis): [a0 b0 c0 a1 b1 c1 a2 b2 c2 lox loy hix hiy 0 0 0]
+    bin slot (lane axis):  cap, a multiple of 128 in production
+
+with edge functions already shifted into tile-local pixel coordinates. The
+kernel walks the bin in 128-slot lane chunks, skipping chunks beyond the
+tile's occupancy (scalar-prefetched counts [B, n_tiles]), so:
+
+- every operation is a natural (sublane, lane) vector op on a
+  [tile_h, tile_w, chunk] block — no scalar extracts, no dynamic slices,
+  no in-kernel transposes (the previous design looped one triangle at a
+  time, paying 13 scalar extracts plus full-tile vector work per triangle);
+- work scales with bin occupancy at 128-triangle granularity;
+- forward writes one coverage block + one pre-clip accumulator block per
+  tile; backward is analytic, reducing d(loss)/d(record) per triangle with
+  lane-preserving reductions. The cotangents then flow back through the
+  (XLA-differentiated) gather/setup to vertex positions and the SE(3) pose.
 """
 from __future__ import annotations
 
@@ -36,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["tile_silhouette", "TRI_RECORD"]
 
-TRI_RECORD = 16  # f32 lanes per triangle record
+TRI_RECORD = 16  # f32 sublanes per triangle record
+CHUNK = 128  # bin slots processed per step (one lane tile)
 
 
 def _on_tpu() -> bool:
@@ -44,22 +50,35 @@ def _on_tpu() -> bool:
 
 
 def _pix_grids(th: int, tw: int):
-    # Mosaic tpu.iota is integer-only; cast to f32 after generation.
-    px = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
-    py = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
+    # Mosaic iota is integer-only; cast to f32 after generation. Trailing
+    # size-1 axis broadcasts against the chunk (lane) axis.
+    px = (
+        jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 1).astype(jnp.float32)
+        + 0.5
+    )
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 0).astype(jnp.float32)
+        + 0.5
+    )
     return px, py
 
 
-def _coverage_terms(tri_row, px, py, sharpness):
-    """Shared fwd/bwd per-triangle math on a [th, tw] pixel block.
+def _chunk_coverage(blk, px, py, remaining, sharpness):
+    """Coverage of one [16, C] record chunk over a [th, tw] pixel block.
 
-    tri_row: [TRI_RECORD] vector of one triangle's record.
-    Returns (cov, d0, d1, d2, dbb, dmin).
+    Returns (cov, d0, d1, d2, dbb, dmin), all [th, tw, C]. Slots at or
+    beyond `remaining` are masked to zero coverage.
     """
-    a0, b0, c0 = tri_row[0], tri_row[1], tri_row[2]
-    a1, b1, c1 = tri_row[3], tri_row[4], tri_row[5]
-    a2, b2, c2 = tri_row[6], tri_row[7], tri_row[8]
-    lox, loy, hix, hiy = tri_row[9], tri_row[10], tri_row[11], tri_row[12]
+    C = blk.shape[-1]
+
+    def f(i):  # field row -> [1, 1, C] broadcastable over pixels
+        return blk[i : i + 1, :].reshape(1, 1, C)
+
+    a0, b0, c0 = f(0), f(1), f(2)
+    a1, b1, c1 = f(3), f(4), f(5)
+    a2, b2, c2 = f(6), f(7), f(8)
+    lox, loy, hix, hiy = f(9), f(10), f(11), f(12)
+
     d0 = a0 * px + b0 * py + c0
     d1 = a1 * px + b1 * py + c1
     d2 = a2 * px + b2 * py + c2
@@ -68,80 +87,88 @@ def _coverage_terms(tri_row, px, py, sharpness):
     )
     dmin = jnp.minimum(jnp.minimum(jnp.minimum(d0, d1), d2), dbb)
     cov = jnp.minimum(jnp.maximum(0.5 + sharpness * dmin, 0.0), 1.0)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    cov = jnp.where(slot < remaining, cov, 0.0)
     return cov, d0, d1, d2, dbb, dmin
 
 
-def _fwd_kernel(counts_ref, tri_ref, out_ref, acc_ref, *, th, tw, sharpness):
-    i = pl.program_id(0)
-    count = counts_ref[i]
+def _fwd_kernel(counts_ref, tri_ref, out_ref, acc_ref, *, th, tw, cap, sharpness):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    count = counts_ref[b, i]
     px, py = _pix_grids(th, tw)
 
-    def body(t, acc):
-        cov, *_ = _coverage_terms(tri_ref[0, t, :], px, py, sharpness)
-        return acc + cov
+    acc_ref[0, 0] = jnp.zeros((th, tw), jnp.float32)
+    for k in range(0, cap, CHUNK):
+        c = min(CHUNK, cap - k)
 
-    acc = jax.lax.fori_loop(0, count, body, jnp.zeros((th, tw), jnp.float32))
-    acc_ref[0] = acc
-    out_ref[0] = jnp.minimum(jnp.maximum(acc, 0.0), 1.0)
+        @pl.when(k < count)
+        def _():
+            cov, *_ = _chunk_coverage(
+                tri_ref[0, 0, :, k : k + c], px, py, count - k, sharpness
+            )
+            acc_ref[0, 0] += jnp.sum(cov, axis=-1)
+
+    acc = acc_ref[0, 0]
+    out_ref[0, 0] = jnp.minimum(jnp.maximum(acc, 0.0), 1.0)
 
 
 def _bwd_kernel(
-    counts_ref, tri_ref, acc_ref, g_ref, dtri_ref, *, th, tw, sharpness
+    counts_ref, tri_ref, acc_ref, g_ref, dtri_ref, *, th, tw, cap, sharpness
 ):
-    i = pl.program_id(0)
-    count = counts_ref[i]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    count = counts_ref[b, i]
     px, py = _pix_grids(th, tw)
     # d clip(acc)/d acc = 1 only below saturation; union-occluded pixels
     # (acc > 1: interiors covered by multiple tris/links) get no gradient —
     # same semantics as the reference's .clamp(max=1).
-    gp_base = g_ref[0] * (acc_ref[0] <= 1.0).astype(jnp.float32)
+    gp_base = (g_ref[0, 0] * (acc_ref[0, 0] <= 1.0).astype(jnp.float32))[
+        :, :, None
+    ]
 
-    dtri_ref[0] = jnp.zeros_like(dtri_ref[0])
+    dtri_ref[0, 0] = jnp.zeros((TRI_RECORD, cap), jnp.float32)
+    for k in range(0, cap, CHUNK):
+        c = min(CHUNK, cap - k)
 
-    def body(t, _):
-        row = tri_ref[0, t, :]
-        cov, d0, d1, d2, dbb, dmin = _coverage_terms(row, px, py, sharpness)
-        in_band = (cov > 0.0) & (cov < 1.0)
-        gp = gp_base * in_band.astype(jnp.float32) * sharpness  # dcov/ddmin
+        @pl.when(k < count)
+        def _():
+            blk = tri_ref[0, 0, :, k : k + c]
+            cov, d0, d1, d2, dbb, dmin = _chunk_coverage(
+                blk, px, py, count - k, sharpness
+            )
+            in_band = (cov > 0.0) & (cov < 1.0)
+            gp = gp_base * in_band.astype(jnp.float32) * sharpness  # dcov/ddmin
 
-        # Subgradient of the 4-way min: first matching arm wins.
-        m0 = d0 <= dmin
-        m1 = (d1 <= dmin) & ~m0
-        m2 = (d2 <= dmin) & ~m0 & ~m1
-        mb = ~m0 & ~m1 & ~m2
+            # Subgradient of the 4-way min: first matching arm wins.
+            m0 = d0 <= dmin
+            m1 = (d1 <= dmin) & ~m0
+            m2 = (d2 <= dmin) & ~m0 & ~m1
+            mb = ~m0 & ~m1 & ~m2
 
-        s0 = gp * m0.astype(jnp.float32)
-        s1 = gp * m1.astype(jnp.float32)
-        s2 = gp * m2.astype(jnp.float32)
-        sb = gp * mb.astype(jnp.float32)
+            def put(row, val):  # val [th, tw, C] -> reduce pixels -> [1, C]
+                dtri_ref[0, 0, row : row + 1, k : k + c] = jnp.sum(
+                    val, axis=(0, 1)
+                )[None, :]
 
-        # bbox arms: dbb = min(px-lox, hix-px, py-loy, hiy-py)
-        lox, loy, hix, hiy = row[9], row[10], row[11], row[12]
-        axl = (px - lox) <= dbb
-        axh = ((hix - px) <= dbb) & ~axl
-        ayl = ((py - loy) <= dbb) & ~axl & ~axh
-        ayh = ~axl & ~axh & ~ayl
+            for e, m in enumerate((m0, m1, m2)):
+                s = gp * m.astype(jnp.float32)
+                put(3 * e + 0, s * px)
+                put(3 * e + 1, s * py)
+                put(3 * e + 2, s)
 
-        # Compose the 16-lane gradient row with one-hot masks (Mosaic allows
-        # neither scatter nor scalar stores to VMEM) and store it as a [1, 16]
-        # dynamic-sublane slice.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, TRI_RECORD), 1)
-        scalars = (
-            jnp.sum(s0 * px), jnp.sum(s0 * py), jnp.sum(s0),
-            jnp.sum(s1 * px), jnp.sum(s1 * py), jnp.sum(s1),
-            jnp.sum(s2 * px), jnp.sum(s2 * py), jnp.sum(s2),
-            -jnp.sum(sb * axl.astype(jnp.float32)),
-            -jnp.sum(sb * ayl.astype(jnp.float32)),
-            jnp.sum(sb * axh.astype(jnp.float32)),
-            jnp.sum(sb * ayh.astype(jnp.float32)),
-        )
-        row = jnp.zeros((1, TRI_RECORD), jnp.float32)
-        for k, val in enumerate(scalars):
-            row = row + jnp.where(lane == k, val, 0.0)
-        dtri_ref[0, pl.ds(t, 1), :] = row
-        return 0
-
-    jax.lax.fori_loop(0, count, body, 0)
+            # bbox arms: dbb = min(px-lox, hix-px, py-loy, hiy-py)
+            lox, loy = blk[9:10, :].reshape(1, 1, c), blk[10:11, :].reshape(1, 1, c)
+            hix, hiy = blk[11:12, :].reshape(1, 1, c), blk[12:13, :].reshape(1, 1, c)
+            axl = (px - lox) <= dbb
+            axh = ((hix - px) <= dbb) & ~axl
+            ayl = ((py - loy) <= dbb) & ~axl & ~axh
+            ayh = ~axl & ~axh & ~ayl
+            sb = gp * mb.astype(jnp.float32)
+            put(9, -(sb * axl.astype(jnp.float32)))
+            put(10, -(sb * ayl.astype(jnp.float32)))
+            put(11, sb * axh.astype(jnp.float32))
+            put(12, sb * ayh.astype(jnp.float32))
 
 
 @functools.lru_cache(maxsize=None)
@@ -149,66 +176,78 @@ def _make_tile_silhouette(th: int, tw: int, cap: int, sharpness: float):
     interpret = not _on_tpu()
 
     def fwd_call(tri, counts):
-        n_tiles = tri.shape[0]
+        B, n_tiles = tri.shape[0], tri.shape[1]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_tiles,),
+            grid=(B, n_tiles),
             in_specs=[
                 pl.BlockSpec(
-                    (1, cap, TRI_RECORD),
-                    lambda i, *_: (i, 0, 0),
+                    (1, 1, TRI_RECORD, cap),
+                    lambda b, i, *_: (b, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (1, th, tw), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, th, tw), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
         )
         out, acc = pl.pallas_call(
-            functools.partial(_fwd_kernel, th=th, tw=tw, sharpness=sharpness),
+            functools.partial(
+                _fwd_kernel, th=th, tw=tw, cap=cap, sharpness=sharpness
+            ),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32),
-                jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_tiles, th, tw), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_tiles, th, tw), jnp.float32),
             ],
             interpret=interpret,
         )(counts, tri)
         return out, acc
 
     def bwd_call(tri, counts, acc, g):
-        n_tiles = tri.shape[0]
+        B, n_tiles = tri.shape[0], tri.shape[1]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_tiles,),
+            grid=(B, n_tiles),
             in_specs=[
                 pl.BlockSpec(
-                    (1, cap, TRI_RECORD),
-                    lambda i, *_: (i, 0, 0),
+                    (1, 1, TRI_RECORD, cap),
+                    lambda b, i, *_: (b, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, th, tw), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, th, tw), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, cap, TRI_RECORD),
-                lambda i, *_: (i, 0, 0),
+                (1, 1, TRI_RECORD, cap),
+                lambda b, i, *_: (b, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         )
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, th=th, tw=tw, sharpness=sharpness),
+            functools.partial(
+                _bwd_kernel, th=th, tw=tw, cap=cap, sharpness=sharpness
+            ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (n_tiles, cap, TRI_RECORD), jnp.float32
+                (B, n_tiles, TRI_RECORD, cap), jnp.float32
             ),
             interpret=interpret,
         )(counts, tri, acc, g)
@@ -240,12 +279,12 @@ def tile_silhouette(
 ) -> jax.Array:
     """Rasterize per-tile triangle bins to soft coverage.
 
-    tri: [n_tiles, cap, TRI_RECORD] f32 — tile-local triangle records
-         (slots beyond counts[i] are ignored)
-    counts: [n_tiles] int32 — occupied slots per tile
-    -> [n_tiles, tile_h, tile_w] coverage in [0, 1]; differentiable w.r.t.
+    tri: [B, n_tiles, TRI_RECORD, cap] f32 — field-major tile-local triangle
+         records (slots beyond counts[b, i] are ignored)
+    counts: [B, n_tiles] int32 — occupied slots per tile
+    -> [B, n_tiles, tile_h, tile_w] coverage in [0, 1]; differentiable w.r.t.
     `tri` via the analytic Pallas backward.
     """
-    cap = tri.shape[1]
+    cap = tri.shape[-1]
     fn = _make_tile_silhouette(int(tile_h), int(tile_w), int(cap), float(sharpness))
     return fn(tri, counts.astype(jnp.int32))

@@ -33,6 +33,101 @@ class Triangles2D(NamedTuple):
     valid: jax.Array
 
 
+class TrianglesSoA(NamedTuple):
+    """Structure-of-arrays screen triangles — the TPU-native layout.
+
+    The AoS Triangles2D layout ([..., F, 3, 2]) puts 2- and 3-sized axes on
+    the TPU lane dimension, wasting 126 of every 128 lanes on every
+    downstream op (edge setup, binning, record packing). Here each component
+    is a full-width [..., F] lane vector:
+
+    u, v:  [..., 3, F] pixel coordinates, vertex on the sublane axis
+    z:     [..., 3, F] camera-space depths
+    valid: [..., F] bool
+    """
+
+    u: jax.Array
+    v: jax.Array
+    z: jax.Array
+    valid: jax.Array
+
+    @property
+    def n_faces(self) -> int:
+        return self.valid.shape[-1]
+
+
+def soa_from_aos(t: Triangles2D) -> TrianglesSoA:
+    u = jnp.swapaxes(t.uv[..., 0], -1, -2)
+    v = jnp.swapaxes(t.uv[..., 1], -1, -2)
+    z = jnp.swapaxes(t.z, -1, -2)
+    return TrianglesSoA(u=u, v=v, z=z, valid=t.valid)
+
+
+def to_aos(t: TrianglesSoA) -> Triangles2D:
+    uv = jnp.stack(
+        [jnp.swapaxes(t.u, -1, -2), jnp.swapaxes(t.v, -1, -2)], axis=-1
+    )
+    return Triangles2D(uv=uv, z=jnp.swapaxes(t.z, -1, -2), valid=t.valid)
+
+
+def transform_verts_soa(
+    verts_xyz: tuple[jax.Array, jax.Array, jax.Array],
+    vert_mesh_id: jax.Array,
+    mesh_poses: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """SoA rigid transform of packed multi-mesh vertices.
+
+    verts_xyz: three [V] arrays; vert_mesh_id: [V] int; mesh_poses
+    [..., M, 4, 4]. Returns (x, y, z) each [..., V] — every op is an
+    elementwise fma on a [V]-lane vector (the AoS einsum materializes a
+    [..., V, 3, 3] gathered-rotation tensor instead).
+    """
+    x0, y0, z0 = verts_xyz
+
+    def row(i):
+        r = [jnp.take(mesh_poses[..., i, j], vert_mesh_id, axis=-1) for j in range(4)]
+        return r[0] * x0 + r[1] * y0 + r[2] * z0 + r[3]
+
+    return row(0), row(1), row(2)
+
+
+def setup_triangles_soa(
+    verts_xyz: tuple[jax.Array, jax.Array, jax.Array],
+    faces: jax.Array,
+    K: jax.Array,
+    near: float = camera.NEAR_DEFAULT,
+    far: float = camera.FAR_DEFAULT,
+    eps: float = 1e-9,
+) -> TrianglesSoA:
+    """Project SoA camera-frame vertices and gather per-triangle records.
+
+    Same semantics as setup_triangles (OpenCV pinhole, whole-triangle
+    near/far cull, degenerate cull) in pure lane-vector ops.
+    """
+    x, y, z = verts_xyz
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    z_safe = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+    u_pt = fx * x / z_safe + cx
+    v_pt = fy * y / z_safe + cy
+
+    def gather(a):  # [..., V] -> [..., 3, F]
+        return jnp.stack(
+            [jnp.take(a, faces[:, i], axis=-1) for i in range(3)], axis=-2
+        )
+
+    u = gather(u_pt)
+    v = gather(v_pt)
+    tz = gather(z)
+    in_frustum = jnp.all((tz > near) & (tz < far), axis=-2)
+    e01u, e01v = u[..., 1, :] - u[..., 0, :], v[..., 1, :] - v[..., 0, :]
+    e02u, e02v = u[..., 2, :] - u[..., 0, :], v[..., 2, :] - v[..., 0, :]
+    area2 = e01u * e02v - e01v * e02u
+    return TrianglesSoA(
+        u=u, v=v, z=tz, valid=in_frustum & (jnp.abs(area2) > 1e-12)
+    )
+
+
 def transform_verts(
     verts: jax.Array, vert_mesh_id: jax.Array, mesh_poses: jax.Array
 ) -> jax.Array:

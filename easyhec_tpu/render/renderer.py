@@ -13,7 +13,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..robot.mesh import TriMesh, pack_meshes
-from .projection import setup_triangles, transform_verts
+from .projection import (
+    setup_triangles,
+    setup_triangles_soa,
+    transform_verts,
+    transform_verts_soa,
+)
 from .raster_jnp import depth_bruteforce, silhouette_bruteforce
 from .tiled import TileConfig, depth_tiled, silhouette_tiled
 
@@ -41,6 +46,8 @@ class RobotRenderer:
     ):
         packed = pack_meshes(link_meshes)
         self.vertices = jnp.asarray(packed.vertices)
+        # SoA copies for the lane-vector fast path (see projection.py docs).
+        self.verts_xyz = tuple(jnp.asarray(packed.vertices[:, i]) for i in range(3))
         self.faces = jnp.asarray(packed.faces)
         self.vert_link_id = jnp.asarray(packed.vert_mesh_id)
         self.face_link_id = jnp.asarray(packed.face_mesh_id)
@@ -73,6 +80,10 @@ class RobotRenderer:
         verts_cam = transform_verts(self.vertices, self.vert_link_id, Tc_c2l)
         return setup_triangles(verts_cam, self.faces, K)
 
+    def _triangles_soa(self, Tc_c2l: jax.Array, K: jax.Array):
+        xyz = transform_verts_soa(self.verts_xyz, self.vert_link_id, Tc_c2l)
+        return setup_triangles_soa(xyz, self.faces, K)
+
     # -- rendering ---------------------------------------------------------
 
     def silhouette(
@@ -87,9 +98,14 @@ class RobotRenderer:
         Tc_c2b [..., 4, 4], link_poses [..., L, 4, 4], K [3, 3]
         -> [..., H, W].
         """
-        tris = self._triangles(self.camera_link_poses(Tc_c2b, link_poses), K)
+        Tc_c2l = self.camera_link_poses(Tc_c2b, link_poses)
         if self.mode == "brute":
+            tris = self._triangles(Tc_c2l, K)
             return silhouette_bruteforce(tris, self.H, self.W, sharpness)
+        if self.tile.use_pallas:
+            tris = self._triangles_soa(Tc_c2l, K)
+        else:
+            tris = self._triangles(Tc_c2l, K)
         return silhouette_tiled(tris, self.H, self.W, self.tile, sharpness)
 
     def depth(self, Tc_c2b: jax.Array, link_poses: jax.Array, K: jax.Array):
@@ -114,7 +130,11 @@ class RobotRenderer:
     ) -> jax.Array:
         """Per-link masks [..., L, H, W] (parity with the reference's
         per-link render loop; used by validation/overlay tooling)."""
-        tris = self._triangles(self.camera_link_poses(Tc_c2b, link_poses), K)
+        Tc_c2l = self.camera_link_poses(Tc_c2b, link_poses)
+        if self.mode != "brute" and self.tile.use_pallas:
+            tris = self._triangles_soa(Tc_c2l, K)
+        else:
+            tris = self._triangles(Tc_c2l, K)
 
         def one(link):
             masked = tris._replace(valid=tris.valid & (self.face_link_id == link))

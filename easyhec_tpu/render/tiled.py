@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .projection import Triangles2D
+from .projection import Triangles2D, TrianglesSoA, soa_from_aos, to_aos
 from .raster_core import build_edges, pixel_grid
 
 __all__ = ["silhouette_tiled", "depth_tiled", "TileConfig", "bin_triangles"]
@@ -32,9 +32,9 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 class TileConfig(NamedTuple):
-    tile_h: int = 32
+    tile_h: int = 8
     tile_w: int = 128
-    capacity: int = 512  # max triangles per tile bin
+    capacity: int = 256  # max triangles per tile bin
     use_pallas: bool = True  # Pallas kernel (interpret-mode off-TPU) vs pure XLA
 
 
@@ -42,53 +42,128 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _topk_compact(overlap: jax.Array, k: int, sentinel: int, values=None):
+    """Compact boolean rows to ascending index lists via top_k.
+
+    overlap: [R, N] bool. The k largest of {-value if hit else -inf} are
+    exactly the first k hits, ascending (values default to the column index;
+    pass id-like ascending f32 values to select those directly). Scores are
+    f32 — XLA's f32 top_k has a fast TPU path that the i32 one lacks — which
+    is exact for ids below 2^24. Returns (ids [R, k] int32 with `sentinel`
+    for empty slots, counts [R], overflowed []).
+    """
+    R, N = overlap.shape
+    if values is None:
+        values = jax.lax.broadcasted_iota(jnp.float32, (R, N), 1)
+    score = jnp.where(overlap, -values, -jnp.inf)
+    top_scores, _ = jax.lax.top_k(score, k)
+    hit = jnp.isfinite(top_scores)
+    ids = jnp.where(hit, (-top_scores).astype(jnp.int32), sentinel)
+    counts = jnp.sum(overlap, axis=-1)
+    return ids, jnp.minimum(counts, k).astype(jnp.int32), jnp.any(counts > k)
+
+
+def _bin_bboxes(
+    blox: jax.Array,
+    bloy: jax.Array,
+    bhix: jax.Array,
+    bhiy: jax.Array,
+    valid: jax.Array,
+    H: int,
+    W: int,
+    cfg: TileConfig,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Assign (margin-dilated) triangle bboxes to tiles, hierarchically.
+
+    Inputs are [F] lane vectors. Returns (tri_ids [n_tiles, cap] int32 —
+    index F is the sentinel for an empty slot; counts [n_tiles] int32;
+    overflowed [] bool — True if any bin exceeded capacity at either level,
+    i.e. triangles were dropped).
+
+    Two levels: a flat [n_tiles, F] overlap + top_k compaction is O(tiles·F)
+    and dominates the whole render at production triangle counts. Binning
+    first into 4×2-tile super-tiles cuts the F-wide top_k to ~n_tiles/8 rows;
+    the per-tile pass then compacts over the super-tile's candidate list only.
+    """
+    F = valid.shape[-1]
+    n_ty, n_tx = _cdiv(H, cfg.tile_h), _cdiv(W, cfg.tile_w)
+    n_tiles = n_ty * n_tx
+    cap = min(cfg.capacity, F)
+
+    def axis_overlap(n, size, lo1, hi1):
+        t0 = jnp.arange(n, dtype=jnp.float32) * size
+        return (lo1[None, :] < t0[:, None] + size) & (hi1[None, :] > t0[:, None])
+
+    # ---- level 1: super-tiles of 4×2 tiles -------------------------------
+    SY, SX = 4, 2
+    sh, sw = SY * cfg.tile_h, SX * cfg.tile_w
+    n_sy, n_sx = _cdiv(H, sh), _cdiv(W, sw)
+    cap1 = min(max(8 * cap, 512), F)
+    oy1 = axis_overlap(n_sy, sh, bloy, bhiy)  # [n_sy, F]
+    ox1 = axis_overlap(n_sx, sw, blox, bhix)  # [n_sx, F]
+    overlap1 = (oy1[:, None, :] & ox1[None, :, :] & valid[None, None, :]).reshape(
+        n_sy * n_sx, F
+    )
+    super_ids, _, over1 = _topk_compact(overlap1, cap1, F)  # [n_super, cap1]
+
+    # ---- level 2: tiles over their super-tile's candidates ----------------
+    # Gather the candidate bboxes once per SUPER-tile (one 2-D take for all
+    # four fields — per-field 1-D lane gathers and per-TILE gathers are both
+    # an order of magnitude slower), then test the super's SY×SX tiles by
+    # broadcasting: only the tile origin differs within a super.
+    bounds = jnp.stack([blox, bloy, bhix, bhiy], axis=0)  # [4, F]
+    bounds = jnp.concatenate(
+        [bounds, jnp.asarray([[1e30], [1e30], [-1e30], [-1e30]], bounds.dtype)],
+        axis=1,
+    )
+    cb = jnp.take(bounds, super_ids, axis=1)  # [4, n_super, cap1]
+    cb = cb.reshape(4, n_sy, n_sx, 1, 1, cap1)
+
+    sy0 = jnp.arange(n_sy, dtype=jnp.float32) * sh
+    sx0 = jnp.arange(n_sx, dtype=jnp.float32) * sw
+    jy0 = jnp.arange(SY, dtype=jnp.float32) * cfg.tile_h
+    jx0 = jnp.arange(SX, dtype=jnp.float32) * cfg.tile_w
+    ty0 = sy0.reshape(n_sy, 1, 1, 1, 1) + jy0.reshape(1, 1, SY, 1, 1)
+    tx0 = sx0.reshape(1, n_sx, 1, 1, 1) + jx0.reshape(1, 1, 1, SX, 1)
+    overlap2 = (
+        (cb[0] < tx0 + cfg.tile_w)
+        & (cb[2] > tx0)
+        & (cb[1] < ty0 + cfg.tile_h)
+        & (cb[3] > ty0)
+    )  # [n_sy, n_sx, SY, SX, cap1]; sentinel slots always False
+
+    def to_tile_major(x):  # (super, intra) -> row-major tile grid, crop W/H
+        return x.transpose(0, 2, 1, 3, 4).reshape(
+            n_sy * SY, n_sx * SX, cap1
+        )[:n_ty, :n_tx].reshape(n_tiles, cap1)
+
+    overlap2 = to_tile_major(overlap2)
+    # Selecting by -triangle-id score makes top_k return the ids directly
+    # (no per-tile map-back gather); candidate lists are ascending so
+    # position order == id order.
+    cand_vals = jnp.broadcast_to(
+        super_ids.astype(jnp.float32).reshape(n_sy, n_sx, 1, 1, cap1),
+        (n_sy, n_sx, SY, SX, cap1),
+    )
+    tri_ids, counts, over2 = _topk_compact(
+        overlap2, cap, F, values=to_tile_major(cand_vals)
+    )
+    return tri_ids, counts, over1 | over2
+
+
 def bin_triangles(
     tris: Triangles2D, H: int, W: int, cfg: TileConfig, margin: float = 1.0
-) -> tuple[jax.Array, jax.Array]:
-    """Assign triangles to tiles by bbox overlap.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """bbox-overlap tile binning of AoS triangles (see _bin_bboxes).
 
-    Returns (tri_ids [n_tiles, cap] int32 — index F is the sentinel for an
-    empty slot; overflowed [] bool — True if any tile's bin exceeded cap).
     `margin` dilates triangle bboxes so the soft-coverage half-pixel band
     (and a safety pixel) never straddles an unbinned tile.
     """
-    F = tris.uv.shape[-3]
-    n_ty, n_tx = _cdiv(H, cfg.tile_h), _cdiv(W, cfg.tile_w)
-
     lo = jnp.min(tris.uv, axis=-2) - margin  # [F, 2] (x, y)
     hi = jnp.max(tris.uv, axis=-2) + margin
-
-    ty = jnp.arange(n_ty, dtype=jnp.float32)
-    tx = jnp.arange(n_tx, dtype=jnp.float32)
-    tile_y0 = ty * cfg.tile_h  # [n_ty]
-    tile_x0 = tx * cfg.tile_w  # [n_tx]
-
-    # Overlap tests per axis, then combine: [n_ty, F] & [n_tx, F]
-    oy = (lo[..., 1][None, :] < (tile_y0[:, None] + cfg.tile_h)) & (
-        hi[..., 1][None, :] > tile_y0[:, None]
+    return _bin_bboxes(
+        lo[:, 0], lo[:, 1], hi[:, 0], hi[:, 1], tris.valid, H, W, cfg
     )
-    ox = (lo[..., 0][None, :] < (tile_x0[:, None] + cfg.tile_w)) & (
-        hi[..., 0][None, :] > tile_x0[:, None]
-    )
-    valid = tris.valid[None, None, :]
-    overlap = (oy[:, None, :] & ox[None, :, :] & valid).reshape(n_ty * n_tx, F)
-
-    # top_k compaction: the k largest of {1,0} are exactly the overlap set
-    # (ties keep lowest index). Score by -index so selected ids come out
-    # sorted ascending; empty slots map to sentinel F.
-    score = jnp.where(
-        overlap,
-        -jax.lax.broadcasted_iota(jnp.int32, (n_ty * n_tx, F), 1),
-        jnp.int32(-2_000_000_000),
-    )
-    k = min(cfg.capacity, F)  # top_k requires k <= F; scenes smaller than the
-    top_scores, _ = jax.lax.top_k(score, k)  # bin capacity just use F slots
-    hit = top_scores != jnp.int32(-2_000_000_000)
-    tri_ids = jnp.where(hit, -top_scores, F).astype(jnp.int32)
-
-    counts = jnp.sum(overlap, axis=-1)
-    overflowed = jnp.any(counts > k)
-    return tri_ids, jnp.minimum(counts, k).astype(jnp.int32), overflowed
 
 
 def _gather_tile_edges(edges, tri_ids, cfg: TileConfig, n_tx: int):
@@ -119,32 +194,113 @@ def _gather_tile_edges(edges, tri_ids, cfg: TileConfig, n_tx: int):
     return abc_t, bbox_t, valid_t, x0, y0
 
 
+def _edge_fields_soa(t: TrianglesSoA):
+    """Edge/bbox setup in pure lane-vector math (the SoA twin of
+    raster_core.build_edges for the silhouette path). Returns 13 [..., F]
+    field arrays (a0 b0 c0 a1 b1 c1 a2 b2 c2 lox loy hix hiy)."""
+    u0, u1, u2 = t.u[..., 0, :], t.u[..., 1, :], t.u[..., 2, :]
+    v0, v1, v2 = t.v[..., 0, :], t.v[..., 1, :], t.v[..., 2, :]
+    area2 = (u1 - u0) * (v2 - v0) - (v1 - v0) * (u2 - u0)
+    orient = jnp.where(area2 >= 0, 1.0, -1.0)
+
+    def edge(ua, va, ub, vb):
+        a = -(vb - va)
+        b = ub - ua
+        inv = orient / jnp.maximum(jnp.sqrt(a * a + b * b), 1e-12)
+        a = a * inv
+        b = b * inv
+        return a, b, -(a * ua + b * va)
+
+    a0, b0, c0 = edge(u0, v0, u1, v1)
+    a1, b1, c1 = edge(u1, v1, u2, v2)
+    a2, b2, c2 = edge(u2, v2, u0, v0)
+    lox = jnp.minimum(jnp.minimum(u0, u1), u2)
+    hix = jnp.maximum(jnp.maximum(u0, u1), u2)
+    loy = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hiy = jnp.maximum(jnp.maximum(v0, v1), v2)
+    return a0, b0, c0, a1, b1, c1, a2, b2, c2, lox, loy, hix, hiy
+
+
+def _pack_records(t: TrianglesSoA, H: int, W: int, cfg: TileConfig, margin: float = 1.0):
+    """Bin one frame's triangles and gather field-major tile-local records.
+
+    Returns (rec [n_tiles, 16, cap] f32, counts [n_tiles] i32, overflowed []).
+    Field-major layout (bin slot on the lane axis) keeps every downstream op
+    — the shift into tile-local coordinates here and the whole Pallas kernel —
+    a full-width (sublane, lane) vector op; an [..., 16]-minor layout would
+    waste 8 of every 128 lanes on TPU.
+    """
+    from ..ops.tile_raster import TRI_RECORD
+
+    n_tx = _cdiv(W, cfg.tile_w)
+    fl = _edge_fields_soa(t)
+    lox, loy, hix, hiy = fl[9], fl[10], fl[11], fl[12]
+    tri_ids, counts, overflowed = _bin_bboxes(
+        lox - margin, loy - margin, hix + margin, hiy + margin,
+        t.valid, H, W, cfg,
+    )
+
+    # fields [13, F+1]; sentinel column F is all-zero (bbox zeros give
+    # negative bbox distance everywhere -> zero coverage even unmasked).
+    fields = jnp.stack(fl, axis=0)  # [13, F]
+    fields = jnp.pad(fields, ((0, 0), (0, 1)))  # sentinel
+    g = jnp.take(fields, tri_ids, axis=1)  # [13, n_tiles, cap]
+
+    n_tiles = tri_ids.shape[0]
+    tile_idx = jnp.arange(n_tiles, dtype=jnp.float32)
+    x0 = ((tile_idx % n_tx) * cfg.tile_w)[:, None]  # [n_tiles, 1]
+    y0 = ((tile_idx // n_tx) * cfg.tile_h)[:, None]
+
+    a0, b0, c0, a1, b1, c1, a2, b2, c2 = (g[k] for k in range(9))
+    # d(p_local + (x0,y0)) = a·px + b·py + (c + a·x0 + b·y0)
+    c0 = c0 + a0 * x0 + b0 * y0
+    c1 = c1 + a1 * x0 + b1 * y0
+    c2 = c2 + a2 * x0 + b2 * y0
+    lox, loy, hix, hiy = g[9] - x0, g[10] - y0, g[11] - x0, g[12] - y0
+    zero = jnp.zeros_like(a0)
+    rec = jnp.stack(
+        [a0, b0, c0, a1, b1, c1, a2, b2, c2, lox, loy, hix, hiy]
+        + [zero] * (TRI_RECORD - 13),
+        axis=1,
+    )  # [n_tiles, 16, cap]
+    return rec, counts, overflowed
+
+
+def _untile(tiles: jax.Array, H: int, W: int, cfg: TileConfig) -> jax.Array:
+    """[..., n_tiles, th, tw] -> [..., H, W]."""
+    n_ty, n_tx = _cdiv(H, cfg.tile_h), _cdiv(W, cfg.tile_w)
+    lead = tiles.shape[:-3]
+    img = (
+        tiles.reshape(lead + (n_ty, n_tx, cfg.tile_h, cfg.tile_w))
+        .swapaxes(-3, -2)
+        .reshape(lead + (n_ty * cfg.tile_h, n_tx * cfg.tile_w))
+    )
+    return img[..., :H, :W]
+
+
+def _silhouette_tiled_pallas(
+    flat: TrianglesSoA, H: int, W: int, cfg: TileConfig, sharpness: float
+):
+    """Batched pallas path: [N, 3, F] SoA triangles -> [N, H, W] silhouettes.
+
+    Binning runs per frame under lax.map (bounds the [n_tiles, F] overlap
+    matrix to one frame), the kernel runs once over a (frame, tile) grid.
+    """
+    from ..ops.tile_raster import tile_silhouette
+
+    rec, counts, ovs = jax.lax.map(
+        lambda t: _pack_records(t, H, W, cfg), flat
+    )
+    tiles = tile_silhouette(rec, counts, cfg.tile_h, cfg.tile_w, sharpness)
+    return _untile(tiles, H, W, cfg), jnp.any(ovs)
+
+
 @partial(jax.jit, static_argnames=("H", "W", "cfg", "sharpness"))
 def _silhouette_tiled_single(tris: Triangles2D, H: int, W: int, cfg: TileConfig, sharpness: float):
     n_ty, n_tx = _cdiv(H, cfg.tile_h), _cdiv(W, cfg.tile_w)
     edges = build_edges(tris.uv, tris.z, tris.valid)
     tri_ids, counts, overflowed = bin_triangles(tris, H, W, cfg)
     abc_t, bbox_t, valid_t, _, _ = _gather_tile_edges(edges, tri_ids, cfg, n_tx)
-
-    if cfg.use_pallas:
-        from ..ops.tile_raster import tile_silhouette
-
-        cap = abc_t.shape[1]
-        tri16 = jnp.concatenate(
-            [
-                abc_t.reshape(abc_t.shape[0], cap, 9),
-                bbox_t,
-                jnp.zeros((abc_t.shape[0], cap, 3), abc_t.dtype),
-            ],
-            axis=-1,
-        )
-        tiles3 = tile_silhouette(tri16, counts, cfg.tile_h, cfg.tile_w, sharpness)
-        img = (
-            tiles3.reshape(n_ty, n_tx, cfg.tile_h, cfg.tile_w)
-            .transpose(0, 2, 1, 3)
-            .reshape(n_ty * cfg.tile_h, n_tx * cfg.tile_w)
-        )
-        return img[:H, :W], overflowed
 
     pix = pixel_grid(cfg.tile_h, cfg.tile_w)  # [P, 3] tile-local
 
@@ -180,23 +336,28 @@ def silhouette_tiled(
     sharpness: float = 1.0,
     return_overflow: bool = False,
 ):
-    """Soft silhouette via tile binning. Accepts leading batch axes on `tris`
-    (mapped sequentially with lax.map to bound binning memory)."""
+    """Soft silhouette via tile binning. Accepts Triangles2D or TrianglesSoA
+    with leading batch axes (binned per frame with lax.map to bound memory;
+    the Pallas kernel then runs once over the full (frame, tile) grid)."""
     batch_shape = tris.valid.shape[:-1]
-    if not batch_shape:
-        img, ov = _silhouette_tiled_single(tris, H, W, cfg, sharpness)
-        return (img, ov) if return_overflow else img
 
-    flat = Triangles2D(
-        uv=tris.uv.reshape((-1,) + tris.uv.shape[len(batch_shape):]),
-        z=tris.z.reshape((-1,) + tris.z.shape[len(batch_shape):]),
-        valid=tris.valid.reshape((-1,) + tris.valid.shape[len(batch_shape):]),
-    )
-    imgs, ovs = jax.lax.map(
-        lambda t: _silhouette_tiled_single(t, H, W, cfg, sharpness), flat
-    )
+    def flatten(t):
+        return jax.tree.map(
+            lambda a: a.reshape((-1,) + a.shape[len(batch_shape) :]), t
+        )
+
+    if cfg.use_pallas:
+        soa = tris if isinstance(tris, TrianglesSoA) else soa_from_aos(tris)
+        imgs, ov = _silhouette_tiled_pallas(flatten(soa), H, W, cfg, sharpness)
+    else:
+        aos = to_aos(tris) if isinstance(tris, TrianglesSoA) else tris
+        imgs, ovs = jax.lax.map(
+            lambda t: _silhouette_tiled_single(t, H, W, cfg, sharpness),
+            flatten(aos),
+        )
+        ov = jnp.any(ovs)
     imgs = imgs.reshape(batch_shape + (H, W))
-    ov = jnp.any(ovs)
+    ov = jnp.any(ov)
     return (imgs, ov) if return_overflow else imgs
 
 
