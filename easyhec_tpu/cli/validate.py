@@ -13,14 +13,6 @@ from pathlib import Path
 import numpy as np
 
 
-def overlay(rgb: np.ndarray, mask: np.ndarray, color=(0, 200, 255), alpha=0.55):
-    out = rgb.astype(np.float32).copy()
-    m = mask > 0.5
-    for c in range(3):
-        out[..., c] = np.where(m, (1 - alpha) * out[..., c] + alpha * color[c], out[..., c])
-    return out.astype(np.uint8)
-
-
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="overlay solved-pose renders")
     ap.add_argument("-c", "--config-file", required=True)
@@ -51,18 +43,18 @@ def main(argv=None) -> int:
     outputs = render_outputs(dof, rt.renderer, batch.link_poses, batch.K, batch.masks)
     rendered = outputs["rendered_masks"]
     out_dir = Path(args.out or (Path(cfg.output_dir) / "validate"))
-    out_dir.mkdir(parents=True, exist_ok=True)
 
-    import cv2
+    from ..evaluators import build_evaluators
+    from ..visualizers import build_visualizer
 
+    build_visualizer("hover_mask", out_dir)(batch.rgb, rendered)
     stats = []
+    iou_eval = build_evaluators(["mask_iou"])[0]
     for i in range(batch.n_frames):
-        ov = overlay(batch.rgb[i], rendered[i])
-        cv2.imwrite(str(out_dir / f"overlay_{i:06d}.png"), cv2.cvtColor(ov, cv2.COLOR_RGB2BGR))
-        a = rendered[i] > 0.5
-        b = batch.masks[i] > 0.5
-        iou = float((a & b).sum() / max((a | b).sum(), 1))
-        stats.append({"frame": i, "iou": round(iou, 4)})
+        per = iou_eval(
+            {"rendered_masks": rendered[i : i + 1], "ref_masks": batch.masks[i : i + 1]}
+        )
+        stats.append({"frame": i, "iou": round(per["mask_iou"], 4)})
     Tc = np.asarray(se3.exp(jnp.asarray(dof)))
     report = {
         "checkpoint": str(ckpt),

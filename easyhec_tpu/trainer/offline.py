@@ -153,6 +153,17 @@ def run_offline_calibration(
             result.dof, rt.renderer, batch.link_poses, batch.K, batch.masks
         )
         _save_error_panel(out / "error_maps.png", outputs)
+        # Registry-driven post-fit evaluators (the hook the reference has but
+        # never populates; easyhec/evaluators/build.py:5-9).
+        from ..evaluators import build_evaluators
+
+        eval_metrics: dict[str, float] = {}
+        outputs["dof"] = result.dof
+        for ev in build_evaluators(["mask_iou", "pose_error"]):
+            eval_metrics.update(ev(outputs, batch))
+        if eval_metrics:
+            logger.info("evaluators: %s", json.dumps(eval_metrics))
+            (out / "eval.json").write_text(json.dumps(eval_metrics, indent=2))
     except Exception as e:  # pragma: no cover - viz is best-effort
         logger.warning("error-map panel failed: %s", e)
     return result
