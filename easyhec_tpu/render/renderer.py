@@ -64,6 +64,20 @@ class RobotRenderer:
     def __eq__(self, other):
         return self is other
 
+    # -- mesh accessors (debug/visualization; host-side) ---------------------
+
+    def link_vertices(self, link: int) -> np.ndarray:
+        """Vertices of one link's mesh [Nv, 3] (host numpy)."""
+        v = np.asarray(self.vertices)
+        return v[np.asarray(self.vert_link_id) == link]
+
+    def link_faces(self, link: int) -> np.ndarray:
+        """Faces of one link's mesh, re-indexed into link_vertices."""
+        vid = np.asarray(self.vert_link_id)
+        faces = np.asarray(self.faces)[np.asarray(self.face_link_id) == link]
+        offset = int(np.flatnonzero(vid == link)[0]) if np.any(vid == link) else 0
+        return faces - offset
+
     # -- pose plumbing -----------------------------------------------------
 
     def camera_link_poses(self, Tc_c2b: jax.Array, link_poses: jax.Array) -> jax.Array:

@@ -81,6 +81,14 @@ def run_iterative(
         max_dist=cfg.explorer.max_dist if cfg.explorer.max_dist_constraint else None,
     )
 
+    from ..utils.scene3d import Scene3D
+
+    # 3D debug recording per round (the reference's Wis3D inspection of each
+    # proposed pose before driving the arm, docs/usage.md:47-49), gated by
+    # cfg.dbg like the reference.
+    viz = Scene3D(out, enable=cfg.dbg)
+    link_idx_np = np.asarray([chain.link_index(n) for n in rt.link_names])
+
     data_dir = Path(cfg.dataset.data_dir or (out / "captures"))
     masks, qposes = [], []
     result: CalibResult | None = None
@@ -163,6 +171,20 @@ def run_iterative(
                 int(res.feasible.sum()),
                 len(res.feasible),
             )
+        if cfg.dbg:
+            viz.set_scene_id(it)
+            viz.add_image(rgb, name="capture")
+            viz.add_image(mask, name="mask")
+            from ..geometry import se3
+            import jax.numpy as jnp
+
+            Tc = np.asarray(se3.exp(jnp.asarray(dof)))
+            viz.add_camera(Tc, K=K_live, name="solved_camera")
+            viz.add_robot(chain, rt.renderer, link_idx_np, np.eye(4), q,
+                          name="robot_current")
+            viz.add_robot(chain, rt.renderer, link_idx_np, np.eye(4), target,
+                          name="robot_proposed")
+
         plan = None
         if spheres is not None:
             plan = plan_to_qpos(chain, spheres, q, target, seed=it)

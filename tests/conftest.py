@@ -19,3 +19,36 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+@pytest.fixture(scope="session")
+def mini_rig():
+    """Tiny 2-DoF procedural arm rig shared across tests: (chain, renderer,
+    link_idx). Session-scoped so the mesh packing happens once."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import MINI_URDF
+    from easyhec_tpu.render import RobotRenderer, TileConfig
+    from easyhec_tpu.robot import build_chain, load_link_meshes, parse_urdf
+
+    with tempfile.NamedTemporaryFile("w", suffix=".urdf", delete=False) as f:
+        f.write(MINI_URDF)
+        path = f.name
+    model = parse_urdf(path)
+    chain = build_chain(model)
+    links = ["base", "upper", "fore"]
+    meshes = load_link_meshes(model, link_names=links)
+    renderer = RobotRenderer(
+        [meshes[n] for n in links], 48, 64, tile=TileConfig(16, 32, 64)
+    )
+    link_idx = jnp.asarray([chain.link_index(n) for n in links])
+    return chain, renderer, link_idx
