@@ -47,6 +47,13 @@ class ModelConfig:
     mesh_paths: list[str] = field(default_factory=list)  # optional explicit meshes
     use_links: list[str] = field(default_factory=list)  # link names to render
     init_Tc_c2b: list[list[float]] | None = None  # 4x4 row-major; None = from dataset/lookat
+    # Initial-pose source: "auto" (init_Tc_c2b > dataset GT > global_search),
+    # "manual" (init_Tc_c2b required), "gt", "lookat" (init_lookat_eye/target),
+    # "global_search" (render-and-score search, the PVNet-initializer role —
+    # reference trainer/rbsolve_iter.py:324-340)
+    init_method: str = "auto"
+    init_lookat_eye: list[float] | None = None
+    init_lookat_target: list[float] | None = None
     H: int = 480
     W: int = 640
     decimate_voxel: float = 0.0  # >0: vertex-clustering mesh decimation (m)

@@ -119,7 +119,7 @@ def run_iterative(
                 K=np.asarray(K_live, np.float32),
                 Tc_c2b_gt=np.eye(4, dtype=np.float32),
             )
-            dof = _init_dof(cfg, batch_stub)
+            dof = _init_dof(cfg, batch_stub, rt)
 
         result = calibrate(
             dof,

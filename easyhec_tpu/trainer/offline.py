@@ -72,17 +72,36 @@ def build_runtime(cfg: Config) -> Runtime:
     return Runtime(chain=chain, renderer=renderer, link_names=link_names, cfg=cfg)
 
 
-def _init_dof(cfg: Config, batch: CalibBatch) -> np.ndarray:
+def _init_dof(cfg: Config, batch: CalibBatch, rt: Runtime | None = None) -> np.ndarray:
+    """Initial pose per cfg.model.init_method (the reference's three
+    bootstrap paths: yaml init / dataset GT / PVNet subprocess — here the
+    PVNet role is a render-and-score global search, models/pose_init.py)."""
     from ..geometry import se3
     import jax.numpy as jnp
 
-    if cfg.model.init_Tc_c2b is not None:
+    method = cfg.model.init_method
+    T = None
+    if method in ("manual", "auto") and cfg.model.init_Tc_c2b is not None:
         T = np.asarray(cfg.model.init_Tc_c2b, dtype=np.float32).reshape(4, 4)
-    elif batch.has_gt:
+    elif method == "lookat":
+        from ..models.pose_init import lookat_init
+
+        if cfg.model.init_lookat_eye is None or cfg.model.init_lookat_target is None:
+            raise ValueError("init_method=lookat needs init_lookat_eye/target")
+        T = lookat_init(cfg.model.init_lookat_eye, cfg.model.init_lookat_target)
+    elif method in ("gt", "auto") and batch.has_gt:
         T = batch.Tc_c2b_gt  # e.g. synthetic smoke runs; perturb upstream
-    else:
+    if T is None and method in ("global_search", "auto") and rt is not None:
+        from ..models.pose_init import global_search_init
+
+        res = global_search_init(
+            rt.renderer, batch.link_poses[0], batch.K, batch.masks[0]
+        )
+        T = res.Tc_c2b
+    if T is None:
         raise ValueError(
-            "no initial pose: set model.init_Tc_c2b (or provide dataset GT)"
+            f"no initial pose for init_method={method!r}: set model.init_Tc_c2b, "
+            "provide dataset GT, or use init_method=global_search"
         )
     return np.asarray(se3.log(jnp.asarray(T)))
 
@@ -106,7 +125,7 @@ def run_offline_calibration(
         rt.link_names,
     )
     if init_dof is None:
-        init_dof = _init_dof(cfg, batch)
+        init_dof = _init_dof(cfg, batch, rt)
 
     t0 = time.time()
     result = calibrate(
