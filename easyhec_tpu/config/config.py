@@ -69,6 +69,7 @@ class SolverConfig:
     explore_iters: int = 5
     grad_clip: float = 0.0  # 0 = off
     robust_delta: float = 0.0  # >0: Huber downweighting of outlier frames
+    rebin_every: int = 8  # reuse rasterizer tile bins for N steps (count binner)
     weight_decay: float = 0.0
     log_interval: int = 100
     save_freq: int = 100

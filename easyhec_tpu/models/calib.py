@@ -46,6 +46,7 @@ def mask_loss(
     masks_ref: jax.Array,
     sharpness: float = 1.0,
     robust_delta: float = 0.0,
+    bin_state=None,
 ) -> jax.Array:
     """Σ_pixels (rendered − ref)² per frame, mean over frames.
 
@@ -59,7 +60,9 @@ def mask_loss(
     away from the consistent majority. delta is in units of mean squared
     error per mask pixel (≈0.3 is a reasonable setting).
     """
-    sil = renderer.silhouette(se3.exp(dof), link_poses, K, sharpness)
+    sil = renderer.silhouette(
+        se3.exp(dof), link_poses, K, sharpness, bin_state=bin_state
+    )
     per_frame = jnp.sum((sil - masks_ref) ** 2, axis=(-2, -1))
     if robust_delta > 0:
         area = jnp.maximum(jnp.sum(masks_ref, axis=(-2, -1)), 1.0)
@@ -112,6 +115,7 @@ def pose_metrics(dof: jax.Array | np.ndarray, Tc_c2b_gt: np.ndarray) -> dict[str
         "grad_clip",
         "sharpness",
         "robust_delta",
+        "rebin_every",
     ),
 )
 def _calibrate_chunk(
@@ -129,6 +133,7 @@ def _calibrate_chunk(
     grad_clip: float,
     sharpness: float,
     robust_delta: float,
+    rebin_every: int = 1,
 ):
     """`chunk` optimization steps as one lax.scan dispatch.
 
@@ -136,6 +141,12 @@ def _calibrate_chunk(
     carrying dof+opt_state): remote/tunneled TPU runtimes enforce per-dispatch
     watchdogs that a single 1000-step program can trip, and chunking costs
     nothing (the chunk program compiles once).
+
+    rebin_every > 1 (count binner only) recomputes the rasterizer's tile
+    bins once per `rebin_every` steps and reuses them in between — an Adam
+    step at calibration scale moves silhouettes by small fractions of a
+    pixel, well inside the binning margin, so the bins stay exact while the
+    binning pass (including its int scatter) amortizes away.
     """
     opt = make_optimizer(
         optimizer_name,
@@ -144,24 +155,53 @@ def _calibrate_chunk(
         scheduler=scheduler,
         grad_clip=grad_clip,
     )
-    loss_g = jax.value_and_grad(
-        lambda d: mask_loss(
-            d, renderer, link_poses, K, masks_ref, sharpness, robust_delta
-        )
+
+    reuse_bins = (
+        rebin_every > 1
+        and renderer.mode == "tiled"
+        and renderer.tile.use_pallas
+        and renderer.tile.binner == "count"
     )
 
-    def step(carry, _):
+    def make_step(bin_state):
+        loss_g = jax.value_and_grad(
+            lambda d: mask_loss(
+                d, renderer, link_poses, K, masks_ref, sharpness,
+                robust_delta, bin_state=bin_state,
+            )
+        )
+
+        def step(carry, _):
+            dof, opt_state = carry
+            loss, g = loss_g(dof)
+            updates, opt_state = opt.update(g, opt_state, dof)
+            dof_new = jax.tree.map(lambda p, u: p + u, dof, updates)
+            # scan outputs: the pose BEFORE the update (matches the
+            # reference, which logs history_ops at the start of forward —
+            # rb_solver.py:50-51)
+            return (dof_new, opt_state), (loss, dof)
+
+        return step
+
+    if not reuse_bins:
+        (dof, opt_state), (losses, history) = jax.lax.scan(
+            make_step(None), (dof, opt_state), None, length=chunk
+        )
+        return dof, opt_state, losses, history
+
+    inner = min(rebin_every, chunk)
+    n_outer = -(-chunk // inner)
+
+    def outer(carry, _):
         dof, opt_state = carry
-        loss, g = loss_g(dof)
-        updates, opt_state = opt.update(g, opt_state, dof)
-        dof_new = jax.tree.map(lambda p, u: p + u, dof, updates)
-        # scan outputs: the pose BEFORE the update (matches the reference,
-        # which logs history_ops at the start of forward — rb_solver.py:50-51)
-        return (dof_new, opt_state), (loss, dof)
+        state = renderer.bin_state(se3.exp(dof), link_poses, K)
+        return jax.lax.scan(make_step(state), (dof, opt_state), None, length=inner)
 
     (dof, opt_state), (losses, history) = jax.lax.scan(
-        step, (dof, opt_state), None, length=chunk
+        outer, (dof, opt_state), None, length=n_outer
     )
+    losses = losses.reshape(-1)[:chunk]
+    history = history.reshape(-1, history.shape[-1])[:chunk]
     return dof, opt_state, losses, history
 
 
@@ -179,6 +219,7 @@ def _calibrate_scan(
     sharpness: float,
     robust_delta: float = 0.0,
     chunk: int = 50,
+    rebin_every: int = 1,
 ):
     opt = make_optimizer(
         optimizer_name,
@@ -208,6 +249,7 @@ def _calibrate_scan(
             grad_clip,
             sharpness,
             robust_delta,
+            rebin_every,
         )
         losses.append(l)
         history.append(h)
@@ -228,6 +270,7 @@ def calibrate(
     grad_clip: float = 0.0,
     sharpness: float = 1.0,
     robust_delta: float = 0.0,
+    rebin_every: int = 1,
     Tc_c2b_gt: np.ndarray | None = None,
 ) -> CalibResult:
     """Run the full mask-loss pose optimization as one compiled program."""
@@ -244,6 +287,7 @@ def calibrate(
         float(grad_clip),
         float(sharpness),
         float(robust_delta),
+        rebin_every=int(rebin_every),
     )
     dof_np = np.asarray(dof)
     metrics = (

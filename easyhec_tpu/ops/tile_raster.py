@@ -174,6 +174,12 @@ def _bwd_kernel(
 @functools.lru_cache(maxsize=None)
 def _make_tile_silhouette(th: int, tw: int, cap: int, sharpness: float):
     interpret = not _on_tpu()
+    # The unrolled bin-chunk loop keeps several [th, tw, CHUNK] f32
+    # intermediates on the Mosaic stack; the default 16 MB scoped-vmem limit
+    # trips at larger tiles/caps (v5e has 128 MB of VMEM).
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024
+    )
 
     def fwd_call(tri, counts):
         B, n_tiles = tri.shape[0], tri.shape[1]
@@ -209,6 +215,7 @@ def _make_tile_silhouette(th: int, tw: int, cap: int, sharpness: float):
                 jax.ShapeDtypeStruct((B, n_tiles, th, tw), jnp.float32),
                 jax.ShapeDtypeStruct((B, n_tiles, th, tw), jnp.float32),
             ],
+            compiler_params=compiler_params,
             interpret=interpret,
         )(counts, tri)
         return out, acc
@@ -249,6 +256,7 @@ def _make_tile_silhouette(th: int, tw: int, cap: int, sharpness: float):
             out_shape=jax.ShapeDtypeStruct(
                 (B, n_tiles, TRI_RECORD, cap), jnp.float32
             ),
+            compiler_params=compiler_params,
             interpret=interpret,
         )(counts, tri, acc, g)
 

@@ -98,11 +98,19 @@ def setup_triangles_soa(
     near: float = camera.NEAR_DEFAULT,
     far: float = camera.FAR_DEFAULT,
     eps: float = 1e-9,
+    cull_backfaces: bool = False,
 ) -> TrianglesSoA:
     """Project SoA camera-frame vertices and gather per-triangle records.
 
     Same semantics as setup_triangles (OpenCV pinhole, whole-triangle
     near/far cull, degenerate cull) in pure lane-vector ops.
+
+    cull_backfaces: drop triangles whose outward normal faces away from the
+    camera (camera-space test n . v0 >= 0, projection-convention free). For
+    a CLOSED, consistently outward-oriented mesh this leaves the silhouette
+    union exactly unchanged (every ray hitting a backface entered the solid
+    through a frontface covering the same pixel) while halving the triangle
+    load of binning and rasterization.
     """
     x, y, z = verts_xyz
     fx, fy = K[0, 0], K[1, 1]
@@ -123,9 +131,85 @@ def setup_triangles_soa(
     e01u, e01v = u[..., 1, :] - u[..., 0, :], v[..., 1, :] - v[..., 0, :]
     e02u, e02v = u[..., 2, :] - u[..., 0, :], v[..., 2, :] - v[..., 0, :]
     area2 = e01u * e02v - e01v * e02u
-    return TrianglesSoA(
-        u=u, v=v, z=tz, valid=in_frustum & (jnp.abs(area2) > 1e-12)
+    valid = in_frustum & (jnp.abs(area2) > 1e-12)
+    if cull_backfaces:
+        xt, yt = gather(x), gather(y)
+        x0, y0, z0 = xt[..., 0, :], yt[..., 0, :], tz[..., 0, :]
+        e1 = (xt[..., 1, :] - x0, yt[..., 1, :] - y0, tz[..., 1, :] - z0)
+        e2 = (xt[..., 2, :] - x0, yt[..., 2, :] - y0, tz[..., 2, :] - z0)
+        nx = e1[1] * e2[2] - e1[2] * e2[1]
+        ny = e1[2] * e2[0] - e1[0] * e2[2]
+        nz = e1[0] * e2[1] - e1[1] * e2[0]
+        valid = valid & (nx * x0 + ny * y0 + nz * z0 < 0.0)
+    return TrianglesSoA(u=u, v=v, z=tz, valid=valid)
+
+
+def setup_triangles_corners(
+    corners_rest: jax.Array,
+    face_mesh_onehot: jax.Array,
+    mesh_poses: jax.Array,
+    K: jax.Array,
+    near: float = camera.NEAR_DEFAULT,
+    far: float = camera.FAR_DEFAULT,
+    eps: float = 1e-9,
+    cull_backfaces: bool = False,
+) -> TrianglesSoA:
+    """Gather-free triangle setup from statically face-expanded vertices.
+
+    The SoA path's only dynamic-index ops were the per-vertex pose gather
+    (transform_verts_soa) and the faces gather — both slow on TPU (the
+    faces-gather transpose in backward is an XLA scatter-add costing more
+    than the entire rasterizer kernel). Pre-expanding rest-pose vertices to
+    per-face-corner arrays at renderer build time removes every gather: the
+    pose lookup becomes one tiny one-hot matmul and the corner transform is
+    pure lane-vector fma.
+
+    corners_rest:     [3 corners, 4, F] static homogeneous rest positions
+    face_mesh_onehot: [M, F] static 0/1 link membership
+    mesh_poses:       [..., M, 4, 4] camera-from-mesh transforms
+    """
+    P = mesh_poses[..., :3, :4]  # [..., M, 3, 4]
+    # Per-face pose rows: [..., 3, 4, F] — one small matmul, MXU work.
+    pr = jnp.einsum(
+        "...mij,mf->...ijf", P, face_mesh_onehot, precision=_HI
     )
+
+    def corner(c):
+        r = corners_rest[c]  # [4, F]
+        out = [
+            pr[..., i, 0, :] * r[0]
+            + pr[..., i, 1, :] * r[1]
+            + pr[..., i, 2, :] * r[2]
+            + pr[..., i, 3, :] * r[3]
+            for i in range(3)
+        ]
+        return out  # x, y, z each [..., F]
+
+    xs, ys, zs = zip(corner(0), corner(1), corner(2))
+    x = jnp.stack(xs, axis=-2)  # [..., 3, F]
+    y = jnp.stack(ys, axis=-2)
+    z = jnp.stack(zs, axis=-2)
+
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    z_safe = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+    u = fx * x / z_safe + cx
+    v = fy * y / z_safe + cy
+
+    in_frustum = jnp.all((z > near) & (z < far), axis=-2)
+    e01u, e01v = u[..., 1, :] - u[..., 0, :], v[..., 1, :] - v[..., 0, :]
+    e02u, e02v = u[..., 2, :] - u[..., 0, :], v[..., 2, :] - v[..., 0, :]
+    area2 = e01u * e02v - e01v * e02u
+    valid = in_frustum & (jnp.abs(area2) > 1e-12)
+    if cull_backfaces:
+        x0, y0, z0 = x[..., 0, :], y[..., 0, :], z[..., 0, :]
+        e1 = (x[..., 1, :] - x0, y[..., 1, :] - y0, z[..., 1, :] - z0)
+        e2 = (x[..., 2, :] - x0, y[..., 2, :] - y0, z[..., 2, :] - z0)
+        nx = e1[1] * e2[2] - e1[2] * e2[1]
+        ny = e1[2] * e2[0] - e1[0] * e2[2]
+        nz = e1[0] * e2[1] - e1[1] * e2[0]
+        valid = valid & (nx * x0 + ny * y0 + nz * z0 < 0.0)
+    return TrianglesSoA(u=u, v=v, z=z, valid=valid)
 
 
 def transform_verts(

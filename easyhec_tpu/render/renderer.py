@@ -15,6 +15,7 @@ import numpy as np
 from ..robot.mesh import TriMesh, pack_meshes
 from .projection import (
     setup_triangles,
+    setup_triangles_corners,
     setup_triangles_soa,
     transform_verts,
     transform_verts_soa,
@@ -55,6 +56,17 @@ class RobotRenderer:
         self.H, self.W = int(H), int(W)
         self.tile = tile or TileConfig()
         self.mode = mode
+        # Static face-corner expansion: kills every dynamic gather in the
+        # vertex/setup stage (see projection.setup_triangles_corners).
+        vc = packed.vertices[packed.faces]  # [F, 3, 3] numpy
+        hom = np.concatenate([vc, np.ones_like(vc[..., :1])], axis=-1)
+        self.corners_rest = jnp.asarray(
+            np.ascontiguousarray(hom.transpose(1, 2, 0)), jnp.float32
+        )  # [3 corners, 4, F]
+        onehot = (
+            packed.face_mesh_id[None, :] == np.arange(packed.n_meshes)[:, None]
+        )
+        self.face_link_onehot = jnp.asarray(onehot, jnp.float32)  # [L, F]
 
     # Identity hash/eq: lets a renderer be a static jit argument (its packed
     # mesh arrays become baked constants of the compiled program).
@@ -95,8 +107,13 @@ class RobotRenderer:
         return setup_triangles(verts_cam, self.faces, K)
 
     def _triangles_soa(self, Tc_c2l: jax.Array, K: jax.Array):
-        xyz = transform_verts_soa(self.verts_xyz, self.vert_link_id, Tc_c2l)
-        return setup_triangles_soa(xyz, self.faces, K)
+        return setup_triangles_corners(
+            self.corners_rest,
+            self.face_link_onehot,
+            Tc_c2l,
+            K,
+            cull_backfaces=self.tile.cull_backfaces,
+        )
 
     # -- rendering ---------------------------------------------------------
 
@@ -106,11 +123,16 @@ class RobotRenderer:
         link_poses: jax.Array,
         K: jax.Array,
         sharpness: float = 1.0,
+        bin_state=None,
     ) -> jax.Array:
         """Soft silhouette of the whole arm (union of links), in [0, 1].
 
         Tc_c2b [..., 4, 4], link_poses [..., L, 4, 4], K [3, 3]
         -> [..., H, W].
+
+        bin_state: optional precomputed BinState (from self.bin_state) to
+        reuse tile bins across optimizer steps (count binner only) —
+        amortizes the binning pass over rebin_every steps.
         """
         Tc_c2l = self.camera_link_poses(Tc_c2b, link_poses)
         if self.mode == "brute":
@@ -118,9 +140,31 @@ class RobotRenderer:
             return silhouette_bruteforce(tris, self.H, self.W, sharpness)
         if self.tile.use_pallas:
             tris = self._triangles_soa(Tc_c2l, K)
+            if bin_state is not None or self.tile.binner == "count":
+                from .binning import silhouette_counted
+
+                return silhouette_counted(
+                    tris, self.H, self.W, self.tile, sharpness, state=bin_state
+                )
         else:
             tris = self._triangles(Tc_c2l, K)
         return silhouette_tiled(tris, self.H, self.W, self.tile, sharpness)
+
+    def bin_state(self, Tc_c2b: jax.Array, link_poses: jax.Array, K: jax.Array):
+        """Compute the counting-binner state for the current pose (count
+        binner only). Leaves carry the FLATTENED frame batch; feed back via
+        silhouette(..., bin_state=...) while the pose stays within
+        tile.margin pixels of where the state was computed."""
+        from .binning import fields_and_bins
+
+        Tc_c2l = self.camera_link_poses(Tc_c2b, link_poses)
+        tris = self._triangles_soa(Tc_c2l, K)
+        batch = tris.valid.shape[:-1]
+        flat = jax.tree.map(
+            lambda a: a.reshape((-1,) + a.shape[len(batch):]), tris
+        )
+        _, state = fields_and_bins(flat, self.H, self.W, self.tile)
+        return jax.tree.map(jax.lax.stop_gradient, state)
 
     def depth(self, Tc_c2b: jax.Array, link_poses: jax.Array, K: jax.Array):
         """-> (depth [..., H, W] metric z, link_id [..., H, W] int32, -1=bg)."""

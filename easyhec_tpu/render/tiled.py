@@ -36,6 +36,13 @@ class TileConfig(NamedTuple):
     tile_w: int = 128
     capacity: int = 256  # max triangles per tile bin
     use_pallas: bool = True  # Pallas kernel (interpret-mode off-TPU) vs pure XLA
+    binner: str = "count"  # "count" (counting sort, see binning.py) | "topk"
+    rect_y: int = 0  # static tile-rect enumeration window (count binner):
+    rect_x: int = 0  # bbox may span at most rect_y x rect_x tiles;
+    #                  0 = auto (the full tile grid — exact for any triangle
+    #                  size; production configs set tight windows for speed)
+    margin: float = 1.0  # bbox dilation (px): soft-band + rebin drift budget
+    cull_backfaces: bool = False  # exact for closed oriented meshes
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -346,7 +353,14 @@ def silhouette_tiled(
             lambda a: a.reshape((-1,) + a.shape[len(batch_shape) :]), t
         )
 
-    if cfg.use_pallas:
+    if cfg.use_pallas and cfg.binner == "count":
+        from .binning import silhouette_counted
+
+        soa = tris if isinstance(tris, TrianglesSoA) else soa_from_aos(tris)
+        imgs, ov = silhouette_counted(
+            soa, H, W, cfg, sharpness, return_overflow=True
+        )
+    elif cfg.use_pallas:
         soa = tris if isinstance(tris, TrianglesSoA) else soa_from_aos(tris)
         imgs, ov = _silhouette_tiled_pallas(flatten(soa), H, W, cfg, sharpness)
     else:

@@ -134,6 +134,7 @@ def run_iterative(
             grad_clip=cfg.solver.grad_clip,
             sharpness=cfg.render.sharpness,
             robust_delta=cfg.solver.robust_delta,
+            rebin_every=cfg.solver.rebin_every,
             Tc_c2b_gt=Tc_c2b_gt,
         )
         dof = result.dof  # warm start the next round

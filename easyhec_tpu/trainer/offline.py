@@ -141,6 +141,7 @@ def run_offline_calibration(
         grad_clip=cfg.solver.grad_clip,
         sharpness=cfg.render.sharpness,
         robust_delta=cfg.solver.robust_delta,
+        rebin_every=cfg.solver.rebin_every,
         Tc_c2b_gt=batch.Tc_c2b_gt if batch.has_gt else None,
     )
     dt = time.time() - t0
