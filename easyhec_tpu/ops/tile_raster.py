@@ -178,7 +178,7 @@ def _make_tile_silhouette(th: int, tw: int, cap: int, sharpness: float):
     # intermediates on the Mosaic stack; the default 16 MB scoped-vmem limit
     # trips at larger tiles/caps (v5e has 128 MB of VMEM).
     compiler_params = pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024
+        vmem_limit_bytes=64 * 1024 * 1024
     )
 
     def fwd_call(tri, counts):
