@@ -21,6 +21,11 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=float, default=0.9)
     ap.add_argument("--limit-fraction", type=float, default=0.5)
     ap.add_argument("--depth", action="store_true", help="also write depth maps")
+    ap.add_argument(
+        "--ring", type=int, default=0, metavar="N",
+        help="pose-dataset mode: N camera views on a ring, one fixed qpos "
+        "(the reference's gen_data_for_pvnet + convert_pvnet_format role)",
+    )
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args(argv)
 
@@ -36,6 +41,19 @@ def main(argv=None) -> int:
     K = np.array(
         [[fx, 0, cfg.model.W / 2], [0, fx, cfg.model.H / 2], [0, 0, 1]], np.float32
     )
+    if args.ring:
+        from ..data.synthetic import generate_pose_dataset
+
+        out = generate_pose_dataset(
+            args.out, rt.chain, rt.renderer, rt.link_names, K,
+            n_views=args.ring, radius=args.distance, height=args.height,
+            seed=args.seed,
+        )
+        print(
+            f"wrote {args.ring} ring views to {args.out} "
+            f"(model diameter {out['diameter']:.3f} m)"
+        )
+        return 0
     Tc = default_camera(args.distance, args.azimuth, args.height)
     data = generate_dataset(
         args.out,

@@ -32,10 +32,15 @@ __all__ = [
 class RenderConfig:
     tile_h: int = 32
     tile_w: int = 128
-    capacity: int = 512  # triangles per tile bin
+    capacity: int = 512  # triangles per tile bin (keep <= 512, tiled.py note)
     use_pallas: bool = True
     mode: str = "tiled"  # "tiled" | "brute"
     sharpness: float = 1.0
+    binner: str = "count"  # "count" (counting sort) | "topk"
+    rect_y: int = 0  # count-binner tile-rect window; 0 = auto/full (exact)
+    rect_x: int = 0
+    margin: float = 2.0  # bbox dilation px (soft band + rebin drift budget)
+    cull_backfaces: bool = False  # exact only for closed oriented meshes
 
 
 @dataclass

@@ -150,3 +150,86 @@ def default_camera(
         eye, jnp.asarray(target, jnp.float32), jnp.asarray([0.0, 0.0, 1.0])
     )
     return np.asarray(se3.inverse(T_cam2base))
+
+
+def generate_pose_dataset(
+    out_dir: str | Path,
+    chain: KinematicChain,
+    renderer: RobotRenderer,
+    link_names: list[str],
+    K: np.ndarray,
+    n_views: int = 36,
+    radius: float = 1.5,
+    height: float = 0.8,
+    qpos: np.ndarray | None = None,
+    target=(0.0, 0.0, 0.25),
+    seed: int = 0,
+    jitter: float = 0.0,
+) -> dict[str, np.ndarray]:
+    """Pose-training dataset: one fixed qpos, a ring of camera poses.
+
+    The reference generates this with SAPIEN for PVNet training
+    (tools/simulate/gen_data_for_pvnet.py:21-188 renders a ring of Tc_c2b at
+    the zero qpos) and reformats it with
+    convert_pvnet_data_to_pvnet_format.py:1-69 (rgb/mask/pose + model.ply +
+    diameter). Here both steps are one call producing that final layout:
+
+        color/%06d.png  mask/%06d.png  pose/%06d.txt  (Tc_c2b per view)
+        K.txt  qpos.txt  model.ply  diameter.txt
+
+    model.ply is the robot posed at `qpos` in BASE frame; diameter is the
+    max pairwise extent of its vertices (the reference's calc_pts_diameter2
+    role). Consumers: any single-shot pose estimator used as a PoseInit —
+    including models.pose_init.global_search_init's scorer.
+    """
+    from ..geometry import camera as cam
+    from ..geometry import se3
+    from ..render.projection import transform_verts
+    from ..utils.scene3d import _write_ply
+
+    out = Path(out_dir)
+    qpos = np.zeros(chain.n_dof, np.float32) if qpos is None else np.asarray(qpos)
+    link_idx = jnp.asarray([chain.link_index(n) for n in link_names])
+    lp = chain.fk(jnp.asarray(qpos))[link_idx]  # [L, 4, 4]
+
+    rng = np.random.default_rng(seed)
+    rings = cam.ring_poses(
+        n_views, radius, height, target=jnp.asarray(target, jnp.float32)
+    )  # [N, 4, 4] camera-to-world(base)
+    poses = jax.vmap(se3.inverse)(rings)  # Tc_c2b per view
+    if jitter > 0:
+        noise = rng.normal(0, jitter, (n_views, 3)).astype(np.float32)
+        poses = poses.at[:, :3, 3].add(jnp.asarray(noise))
+
+    Kj = jnp.asarray(K, jnp.float32)
+
+    @jax.jit
+    def render(Tcs):
+        masks = renderer.silhouette(Tcs, jnp.broadcast_to(lp, (n_views,) + lp.shape), Kj)
+        return masks
+
+    masks = np.asarray(render(poses))
+
+    from PIL import Image
+
+    for sub in ("color", "mask", "pose"):
+        (out / sub).mkdir(parents=True, exist_ok=True)
+    for i in range(n_views):
+        m8 = (masks[i] > 0.5).astype(np.uint8) * 255
+        # flat render as the color image (shape cue only; pose training on
+        # synthetic silhouettes matches the reference's mask-driven use)
+        Image.fromarray(m8).save(out / "color" / f"{i:06d}.png")
+        Image.fromarray(m8).save(out / "mask" / f"{i:06d}.png")
+        np.savetxt(out / "pose" / f"{i:06d}.txt", np.asarray(poses[i]))
+    np.savetxt(out / "K.txt", np.asarray(K))
+    np.savetxt(out / "qpos.txt", qpos)
+
+    # model.ply: packed robot mesh posed at qpos in base frame + diameter
+    verts = np.asarray(
+        transform_verts(renderer.vertices, renderer.vert_link_id, lp)
+    )
+    _write_ply(out / "model.ply", verts, np.asarray(renderer.faces))
+    lo, hi = verts.min(axis=0), verts.max(axis=0)
+    diameter = float(np.linalg.norm(hi - lo))
+    (out / "diameter.txt").write_text(f"{diameter}\n")
+    return {"poses": np.asarray(poses), "masks": masks, "diameter": diameter}

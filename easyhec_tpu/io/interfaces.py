@@ -198,3 +198,44 @@ class RealSenseAdapter:
             [[intr.fx, 0, intr.ppx], [0, intr.fy, intr.ppy], [0, 0, 1]], np.float32
         )
         return rgb, K
+
+
+class FrankaROSAdapter:
+    """Franka arm over ROS/MoveIt (reference frankaAPI/franka.py:59-316:
+    MoveGroupPythonInterfaceTutorial with go_to_rest_pose / set_servo_angle /
+    get_servo_angle). Requires a running ROS master + moveit_commander;
+    import is deferred so the framework stays usable without ROS.
+    """
+
+    REST_QPOS = np.array(
+        [0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785], np.float32
+    )
+
+    def __init__(self, group_name: str = "panda_arm", velocity_scale: float = 0.15):
+        try:  # pragma: no cover - HW/ROS only
+            import moveit_commander  # type: ignore
+            import rospy  # type: ignore
+        except ImportError as e:
+            raise RuntimeError("moveit_commander/rospy not installed") from e
+        import sys as _sys
+
+        moveit_commander.roscpp_initialize(_sys.argv)
+        if not rospy.core.is_initialized():  # pragma: no cover
+            rospy.init_node("easyhec_tpu_franka", anonymous=True)
+        self._rospy = rospy
+        self.robot = moveit_commander.RobotCommander()
+        self.group = moveit_commander.MoveGroupCommander(group_name)
+        self.group.set_max_velocity_scaling_factor(velocity_scale)
+
+    def get_qpos(self) -> np.ndarray:  # pragma: no cover - HW only
+        return np.asarray(self.group.get_current_joint_values(), np.float32)
+
+    def move_to(self, qpos, plan=None) -> None:  # pragma: no cover - HW only
+        # MoveIt owns trajectory timing; the precomputed plan is advisory
+        # here (the reference's franka path also delegates to MoveIt,
+        # trainer/rbsolve_iter.py:60-63).
+        self.group.go(list(np.asarray(qpos, float)), wait=True)
+        self.group.stop()
+
+    def reset(self) -> None:  # pragma: no cover - HW only
+        self.move_to(self.REST_QPOS)

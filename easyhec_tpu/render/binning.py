@@ -273,9 +273,17 @@ def fields_and_bins(soa, H, W, cfg, margin: float | None = None):
     fields = jnp.stack(fl, axis=-2)
     lox, loy, hix, hiy = fl[9], fl[10], fl[11], fl[12]
     n_ty, n_tx = _cdiv(H, cfg.tile_h), _cdiv(W, cfg.tile_w)
-    # rect 0 = auto: enumerate the full tile grid (exact for any triangle).
-    ry = min(cfg.rect_y, n_ty) if cfg.rect_y else n_ty
-    rx = min(cfg.rect_x, n_tx) if cfg.rect_x else n_tx
+    # rect 0 = auto. Small grids (tests/low-res): the full grid — exact for
+    # any triangle size. Large grids: a bounded window (bboxes beyond it set
+    # the overflow flag, which trainers surface) — the full grid there would
+    # cost F * n_tiles enumeration entries.
+    if n_ty * n_tx <= 64:
+        auto_ry, auto_rx = n_ty, n_tx
+    else:
+        auto_ry = min(n_ty, max(2, 64 // cfg.tile_h + 1))
+        auto_rx = min(n_tx, max(2, 64 // cfg.tile_w + 1))
+    ry = min(cfg.rect_y, n_ty) if cfg.rect_y else auto_ry
+    rx = min(cfg.rect_x, n_tx) if cfg.rect_x else auto_rx
     state = bin_count(
         lox - m, loy - m, hix + m, hiy + m, soa.valid,
         H=H, W=W, tile_h=cfg.tile_h, tile_w=cfg.tile_w, cap=cfg.capacity,

@@ -64,12 +64,54 @@ def build_runtime(cfg: Config) -> Runtime:
         ]
 
     tile = TileConfig(
-        cfg.render.tile_h, cfg.render.tile_w, cfg.render.capacity, cfg.render.use_pallas
+        cfg.render.tile_h,
+        cfg.render.tile_w,
+        cfg.render.capacity,
+        cfg.render.use_pallas,
+        binner=cfg.render.binner,
+        rect_y=cfg.render.rect_y,
+        rect_x=cfg.render.rect_x,
+        margin=cfg.render.margin,
+        cull_backfaces=cfg.render.cull_backfaces,
     )
     renderer = RobotRenderer(
         meshes, cfg.model.H, cfg.model.W, tile=tile, mode=cfg.render.mode
     )
     return Runtime(chain=chain, renderer=renderer, link_names=link_names, cfg=cfg)
+
+
+def _warn_if_bins_overflow(rt: Runtime, batch: CalibBatch, init_dof) -> None:
+    """One-shot render with overflow reporting: a saturated tile bin or a
+    triangle rect beyond the static window silently degrades silhouettes, so
+    surface it loudly with the knobs to fix (render.capacity / rect_y/x /
+    model.decimate_voxel)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from ..geometry import se3
+    from ..render.tiled import silhouette_tiled
+
+    logger = logging.getLogger("easyhec_tpu")
+    r = rt.renderer
+    if r.mode != "tiled":
+        return
+    try:
+        Tc = se3.exp(jnp.asarray(init_dof, jnp.float32))
+        lp = jnp.asarray(batch.link_poses[:1], jnp.float32)
+        soa = r._triangles_soa(r.camera_link_poses(Tc, lp), jnp.asarray(batch.K))
+        _, ov = silhouette_tiled(
+            soa, r.H, r.W, r.tile, return_overflow=True
+        )
+        if bool(ov):
+            logger.warning(
+                "rasterizer bin overflow at the initial pose: some triangles "
+                "were dropped. Raise render.capacity (<=512), set "
+                "render.rect_y/rect_x to cover larger triangles, or increase "
+                "model.decimate_voxel."
+            )
+    except Exception as e:  # pragma: no cover - advisory only
+        logger.debug("overflow pre-check skipped: %s", e)
 
 
 def _init_dof(cfg: Config, batch: CalibBatch, rt: Runtime | None = None) -> np.ndarray:
@@ -126,6 +168,8 @@ def run_offline_calibration(
     )
     if init_dof is None:
         init_dof = _init_dof(cfg, batch, rt)
+
+    _warn_if_bins_overflow(rt, batch, init_dof)
 
     t0 = time.time()
     result = calibrate(

@@ -127,3 +127,19 @@ class TestSharding:
             )
         )(dof)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=2e-3, atol=1e-2)
+
+
+def test_comm_single_process_fallbacks():
+    import numpy as np
+
+    from easyhec_tpu.parallel import comm
+
+    assert comm.process_count() >= 1
+    assert comm.is_main_process() in (True, False)
+    comm.sync()  # no-op single process
+    g = comm.all_gather_arrays(np.arange(3.0))
+    assert g.shape[-1] == 3
+    objs = comm.all_gather_objects({"a": 1, "b": [2, 3]})
+    assert objs[0]["b"] == [2, 3]
+    red = comm.reduce_dict({"loss": 2.0, "iou": 0.5})
+    assert red["loss"] == 2.0
