@@ -62,6 +62,7 @@ class ModelConfig:
     H: int = 480
     W: int = 640
     decimate_voxel: float = 0.0  # >0: vertex-clustering mesh decimation (m)
+    subdivide_max_edge: float = 0.0  # >0: split triangles to this max edge (m)
     history_size: int = 10000  # pose-hypothesis ring buffer (reference: rb_solver.py:39)
 
 

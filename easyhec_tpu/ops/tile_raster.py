@@ -102,7 +102,12 @@ def _fwd_kernel(counts_ref, tri_ref, out_ref, acc_ref, *, th, tw, cap, sharpness
     for k in range(0, cap, CHUNK):
         c = min(CHUNK, cap - k)
 
-        @pl.when(k < count)
+        # Saturation early-out: once every pixel has acc >= 2, further
+        # coverage can change neither clip(acc) (still 1) nor the backward
+        # mask (acc <= 1 already false with >= 1 slack) — dense meshes
+        # stack dozens of depth layers per interior pixel, so interior
+        # tiles stop after a couple of chunks.
+        @pl.when((k < count) & (jnp.min(acc_ref[0, 0]) < 2.0))
         def _():
             cov, *_ = _chunk_coverage(
                 tri_ref[0, 0, :, k : k + c], px, py, count - k, sharpness
@@ -128,10 +133,14 @@ def _bwd_kernel(
     ]
 
     dtri_ref[0, 0] = jnp.zeros((TRI_RECORD, cap), jnp.float32)
+    # If every pixel is beyond saturation (acc > 1), gp_base is identically
+    # zero and the whole tile contributes no gradient — skip all chunks
+    # (the dense-mesh twin of the forward's saturation early-out).
+    any_live = jnp.min(acc_ref[0, 0]) <= 1.0
     for k in range(0, cap, CHUNK):
         c = min(CHUNK, cap - k)
 
-        @pl.when(k < count)
+        @pl.when((k < count) & any_live)
         def _():
             blk = tri_ref[0, 0, :, k : k + c]
             cov, d0, d1, d2, dbb, dmin = _chunk_coverage(

@@ -34,10 +34,11 @@ _HI = jax.lax.Precision.HIGHEST
 class TileConfig(NamedTuple):
     tile_h: int = 8
     tile_w: int = 128
-    capacity: int = 256  # max triangles per tile bin. NOTE: caps > 512 have
-    #                      triggered TPU-worker faults inside full training
-    #                      graphs on v5e (kernel + pack compose; each passes
-    #                      in isolation) — keep <= 512 until root-caused
+    capacity: int = 256  # max triangles per tile bin. NOTE: one ad-hoc
+    #                      benchmark graph repeatably faulted a v5e worker at
+    #                      cap 1024 while the production trainer runs the
+    #                      same cap fine (runs/franka_d10); if a worker fault
+    #                      appears, suspect cascading tunnel state first
     use_pallas: bool = True  # Pallas kernel (interpret-mode off-TPU) vs pure XLA
     binner: str = "count"  # "count" (counting sort, see binning.py) | "topk"
     rect_y: int = 0  # static tile-rect enumeration window (count binner):

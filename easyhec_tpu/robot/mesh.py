@@ -571,3 +571,49 @@ def decimate_vertex_clustering(mesh: TriMesh, voxel: float) -> TriMesh:
         & (faces[:, 0] != faces[:, 2])
     )
     return TriMesh(reps, faces[ok].astype(np.int32))
+
+
+def subdivide_to_max_edge(mesh: TriMesh, max_edge: float, max_passes: int = 12) -> TriMesh:
+    """Split triangles until every edge is shorter than max_edge (meters).
+
+    CAD meshes mix tiny fillet triangles with huge flat plates; the huge ones
+    blow past the rasterizer's static tile-rect window (TileConfig.rect_y/x)
+    and concentrate bin occupancy. Longest-edge midpoint bisection normalizes
+    triangle size with zero geometric change (splits don't move the surface;
+    the soft-coverage union is T-junction tolerant because interior seams are
+    covered from both sides). Run AFTER decimation.
+    """
+    if max_edge <= 0:
+        return mesh
+    verts = np.asarray(mesh.vertices, np.float64)
+    faces = np.asarray(mesh.faces, np.int64)
+    for _ in range(max_passes):
+        tri = verts[faces]  # [F, 3, 3]
+        e = np.stack(
+            [
+                np.linalg.norm(tri[:, 1] - tri[:, 0], axis=1),
+                np.linalg.norm(tri[:, 2] - tri[:, 1], axis=1),
+                np.linalg.norm(tri[:, 0] - tri[:, 2], axis=1),
+            ],
+            axis=1,
+        )  # edge i is (v_i, v_{i+1})
+        longest = e.argmax(axis=1)
+        needs = e.max(axis=1) > max_edge
+        if not needs.any():
+            break
+        keep = faces[~needs]
+        split = faces[needs]
+        li = longest[needs]
+        a = split[np.arange(len(split)), li]
+        b = split[np.arange(len(split)), (li + 1) % 3]
+        c = split[np.arange(len(split)), (li + 2) % 3]
+        # Weld shared midpoints so both sides of an edge split identically.
+        key = np.stack([np.minimum(a, b), np.maximum(a, b)], axis=1)
+        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        mids = (verts[uk[:, 0]] + verts[uk[:, 1]]) * 0.5
+        m = len(verts) + inv
+        verts = np.concatenate([verts, mids])
+        f1 = np.stack([a, m, c], axis=1)
+        f2 = np.stack([m, b, c], axis=1)
+        faces = np.concatenate([keep, f1, f2])
+    return TriMesh(verts.astype(np.float32), faces.astype(np.int32))

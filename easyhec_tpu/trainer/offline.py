@@ -62,6 +62,12 @@ def build_runtime(cfg: Config) -> Runtime:
         meshes = [
             decimate_vertex_clustering(m, cfg.model.decimate_voxel) for m in meshes
         ]
+    if cfg.model.subdivide_max_edge > 0:
+        from ..robot.mesh import subdivide_to_max_edge
+
+        meshes = [
+            subdivide_to_max_edge(m, cfg.model.subdivide_max_edge) for m in meshes
+        ]
 
     tile = TileConfig(
         cfg.render.tile_h,

@@ -221,3 +221,47 @@ class TestProjectionPipeline:
         step = 1e-3 / float(jnp.linalg.norm(g))
         val2 = loss(xi0 - step * g)
         assert float(val2) < float(val)
+
+
+def test_saturation_early_out_dense_stack():
+    """Deep depth stacks (acc >> 1) must not change values or gradients —
+    guards the Pallas kernels' saturation early-out."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from easyhec_tpu.render.projection import Triangles2D
+    from easyhec_tpu.render.raster_jnp import silhouette_bruteforce
+    from easyhec_tpu.render.tiled import TileConfig, silhouette_tiled
+
+    rng = np.random.default_rng(3)
+    H, W = 32, 64
+    # 40 near-identical large triangles stacked (interior acc ~ 40) plus a
+    # few boundary-crossing small ones
+    base = np.array([[5.0, 5.0], [55.0, 8.0], [30.0, 28.0]], np.float32)
+    uv = np.stack(
+        [base + rng.normal(0, 0.3, (3, 2)).astype(np.float32) for _ in range(40)]
+        + [rng.uniform([0, 0], [W, H], (3, 2)).astype(np.float32) for _ in range(8)]
+    )
+    z = rng.uniform(0.5, 2.0, (48, 3)).astype(np.float32)
+    tris = Triangles2D(
+        uv=jnp.asarray(uv), z=jnp.asarray(z), valid=jnp.ones(48, bool)
+    )
+    cfg = TileConfig(8, 32, 64)
+    ref = silhouette_bruteforce(tris, H, W)
+    out = silhouette_tiled(tris, H, W, cfg)
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+
+    wgt = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+
+    def loss(u, f):
+        t = Triangles2D(uv=u, z=jnp.asarray(z), valid=jnp.ones(48, bool))
+        return jnp.sum(f(t, H, W) * wgt) if f is silhouette_bruteforce else jnp.sum(
+            silhouette_tiled(t, H, W, cfg) * wgt
+        )
+
+    g_ref = jax.grad(lambda u: loss(u, silhouette_bruteforce))(jnp.asarray(uv))
+    g_out = jax.grad(lambda u: loss(u, silhouette_tiled))(jnp.asarray(uv))
+    assert float(jnp.abs(g_ref - g_out).max()) < 1e-4 * max(
+        1.0, float(jnp.abs(g_ref).max())
+    )
