@@ -66,7 +66,8 @@ def build_scene():
 
     H, W = 480, 640
     tile = TileConfig(
-        16, 128, 512, True, binner="count", rect_y=5, rect_x=2, margin=2.0
+        16, 128, 512, True, binner="count", rect_y=5, rect_x=2, margin=2.0,
+        fused=True,
     )
     renderer = RobotRenderer(mesh_list, H, W, tile=tile)
     link_idx = jnp.asarray([chain.link_index(n) for n in names])

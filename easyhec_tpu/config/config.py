@@ -41,6 +41,10 @@ class RenderConfig:
     rect_x: int = 0
     margin: float = 2.0  # bbox dilation px (soft band + rebin drift budget)
     cull_backfaces: bool = False  # exact only for closed oriented meshes
+    fused: bool = True  # fused-pose kernel (render/fused.py): per-rebin
+    #                     records, in-kernel projection/setup, analytic
+    #                     d(loss)/d(Tc) — gradients through the camera pose
+    #                     only (the calibration contract)
 
 
 @dataclass

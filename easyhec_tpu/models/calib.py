@@ -160,7 +160,7 @@ def _calibrate_chunk(
         rebin_every > 1
         and renderer.mode == "tiled"
         and renderer.tile.use_pallas
-        and renderer.tile.binner == "count"
+        and (renderer.tile.binner == "count" or renderer.tile.fused)
     )
 
     def make_step(bin_state):

@@ -1,0 +1,473 @@
+"""Fused pose-gradient rasterizer kernel — zero per-step packing.
+
+The tile_raster kernel consumes per-tile EDGE-FIELD records that must be
+re-gathered from freshly projected triangles every optimizer step; honest
+TPU profiles of the 10-frame 640x480 workload put that per-step record
+pack at ~5.5 ms forward and ~18.6 ms backward (the gather transpose) — 3x
+the cost of rasterization itself.
+
+This kernel removes the per-step pack entirely by exploiting the structure
+of the calibration problem (reference easyhec/modeling/models/rb_solve/
+rb_solver.py:41-72): during an optimization the joint configurations are
+FIXED — only the camera-from-base pose Tc moves. So the per-tile records
+store each triangle corner's ROBOT-BASE-frame position
+
+    Xb = T_base_from_link(qpos) @ X_rest        (constant per capture set)
+
+packed ONCE per rebin window, and the kernel performs the entire remaining
+per-step pipeline internally:
+
+    camera transform  Xc = Tc @ Xb            (16 scalars per frame)
+    pinhole projection u = fx*x/z + cx        (tile-local)
+    edge-function setup (normalized edges + bbox)
+    soft-coverage accumulation over the pixel block
+
+All per-corner/per-edge math runs on [1, chunk] lane rows (negligible next
+to the [tile_pixels, chunk] coverage work); the only per-step inputs are
+the 12 pose entries + 4 intrinsics per frame. The backward is analytic and
+chains all the way to d(loss)/d(Tc) — a [3, 4] matrix per tile accumulated
+as lane partials — so the entire silhouette + gradient step reads only
+static records from HBM and writes one coverage image plus a few MB of
+pose-gradient partials. No gather, no scatter, forward or backward.
+
+Gradient semantics note: the records (and the binning) depend on the pose
+at REBIN time only, exactly like the amortized-rebinning contract of the
+unfused path (binning.py): gradients flow through the live Tc, and the
+bins/records stay valid while the silhouette drifts within the binning
+margin. Since the records are Tc-independent by construction, the Tc
+gradient is exact (not approximate) for the rendered triangle set.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pose_tile_silhouette", "POSE_RECORD"]
+
+POSE_RECORD = 16  # f32 sublanes: [x0 y0 z0 w0 x1 y1 z1 w1 x2 y2 z2 w2 0 0 0 0]
+CHUNK = 128
+_EPS_Z = 1e-9
+_EPS_N = 1e-12
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _pix_grids(th: int, tw: int):
+    px = (
+        jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 1).astype(jnp.float32)
+        + 0.5
+    )
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 0).astype(jnp.float32)
+        + 0.5
+    )
+    return px, py
+
+
+def _tile_origin(i, n_tx: int, th: int, tw: int):
+    x0 = (i % n_tx).astype(jnp.float32) * tw
+    y0 = (i // n_tx).astype(jnp.float32) * th
+    return x0, y0
+
+
+def _chunk_setup(blk, cam, x0, y0, near, far):
+    """Per-chunk triangle setup from base-frame corner records.
+
+    blk: [POSE_RECORD, C] record chunk; cam: tuple of 16 per-frame scalars
+    (t00..t23 row-major 3x4, fx, fy, cx, cy). Returns per-[1, C]-row dict
+    of camera coords, local pixel coords, normalized edges, bbox and the
+    validity row. Pure lane-row math — negligible vs the pixel block work.
+    """
+
+    def row(i):
+        return blk[i : i + 1, :]  # [1, C]
+
+    t = cam[:12]
+    fx, fy, cx, cy = cam[12], cam[13], cam[14], cam[15]
+
+    xc, yc, zc, u, v = [], [], [], [], []
+    valid = None
+    for i in range(3):
+        Xb, Yb, Zb, Wb = row(4 * i), row(4 * i + 1), row(4 * i + 2), row(4 * i + 3)
+        x = t[0] * Xb + t[1] * Yb + t[2] * Zb + t[3] * Wb
+        y = t[4] * Xb + t[5] * Yb + t[6] * Zb + t[7] * Wb
+        z = t[8] * Xb + t[9] * Yb + t[10] * Zb + t[11] * Wb
+        ok = (z > near) & (z < far)
+        valid = ok if valid is None else (valid & ok)
+        zs = jnp.where(jnp.abs(z) < _EPS_Z, jnp.where(z < 0, -_EPS_Z, _EPS_Z), z)
+        ui = fx * x / zs + cx - x0
+        vi = fy * y / zs + cy - y0
+        xc.append(x)
+        yc.append(y)
+        zc.append(zs)
+        u.append(ui)
+        v.append(vi)
+
+    e01u, e01v = u[1] - u[0], v[1] - v[0]
+    e02u, e02v = u[2] - u[0], v[2] - v[0]
+    area2 = e01u * e02v - e01v * e02u
+    valid = valid & (jnp.abs(area2) > _EPS_N)
+    orient = jnp.where(area2 >= 0, 1.0, -1.0)
+
+    edges = []  # (a, b, cst, p, q, n2, inv) per edge for fwd+bwd reuse
+    for (ia, ib) in ((0, 1), (1, 2), (2, 0)):
+        p = v[ia] - v[ib]  # = -(vb - va)
+        q = u[ib] - u[ia]
+        n = jnp.maximum(jnp.sqrt(p * p + q * q), _EPS_N)
+        inv = orient / n
+        a = p * inv
+        b = q * inv
+        cst = -(a * u[ia] + b * v[ia])
+        edges.append((a, b, cst, p, q, n, inv))
+
+    lox = jnp.minimum(jnp.minimum(u[0], u[1]), u[2])
+    hix = jnp.maximum(jnp.maximum(u[0], u[1]), u[2])
+    loy = jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
+    hiy = jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
+    return dict(
+        xc=xc, yc=yc, zc=zc, u=u, v=v, valid=valid, orient=orient,
+        edges=edges, bbox=(lox, loy, hix, hiy),
+    )
+
+
+def _chunk_coverage(s, px, py, remaining, sharpness):
+    """Coverage + distance arms of one setup chunk over the pixel block."""
+    C = s["valid"].shape[-1]
+
+    def r3(x):  # [1, C] -> [1, 1, C]
+        return x.reshape(1, 1, C)
+
+    ds = []
+    for (a, b, cst, *_rest) in s["edges"]:
+        ds.append(r3(a) * px + r3(b) * py + r3(cst))
+    lox, loy, hix, hiy = (r3(x) for x in s["bbox"])
+    dbb = jnp.minimum(
+        jnp.minimum(px - lox, hix - px), jnp.minimum(py - loy, hiy - py)
+    )
+    dmin = jnp.minimum(jnp.minimum(jnp.minimum(ds[0], ds[1]), ds[2]), dbb)
+    cov = jnp.minimum(jnp.maximum(0.5 + sharpness * dmin, 0.0), 1.0)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    live = (slot < remaining) & r3(s["valid"])
+    cov = jnp.where(live, cov, 0.0)
+    return cov, ds, dbb, dmin
+
+
+def _fwd_kernel(
+    counts_ref, cam_ref, rec_ref, out_ref, acc_ref,
+    *, th, tw, cap, sharpness, near, far, n_tx,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    count = counts_ref[b, i]
+    cam = tuple(cam_ref[b, j] for j in range(16))
+    x0, y0 = _tile_origin(i, n_tx, th, tw)
+    px, py = _pix_grids(th, tw)
+
+    acc_ref[0, 0] = jnp.zeros((th, tw), jnp.float32)
+    for k in range(0, cap, CHUNK):
+        c = min(CHUNK, cap - k)
+
+        # Saturation early-out (see tile_raster._fwd_kernel).
+        @pl.when((k < count) & (jnp.min(acc_ref[0, 0]) < 2.0))
+        def _():
+            s = _chunk_setup(rec_ref[0, 0, :, k : k + c], cam, x0, y0, near, far)
+            cov, *_ = _chunk_coverage(s, px, py, count - k, sharpness)
+            acc_ref[0, 0] += jnp.sum(cov, axis=-1)
+
+    acc = acc_ref[0, 0]
+    out_ref[0, 0] = jnp.minimum(jnp.maximum(acc, 0.0), 1.0)
+
+
+def _first_match_arms(cands, target):
+    """Disjoint first-match masks for min/max subgradients."""
+    arms, taken = [], None
+    for c in cands:
+        m = c == target
+        if taken is not None:
+            m = m & ~taken
+        arms.append(m)
+        taken = m if taken is None else (taken | m)
+    return arms
+
+
+def _bwd_kernel(
+    counts_ref, cam_ref, rec_ref, acc_ref, g_ref, dcam_ref,
+    *, th, tw, cap, sharpness, near, far, n_tx, band_only,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    count = counts_ref[b, i]
+    cam = tuple(cam_ref[b, j] for j in range(16))
+    x0, y0 = _tile_origin(i, n_tx, th, tw)
+    px, py = _pix_grids(th, tw)
+    fx, fy = cam[12], cam[13]
+
+    acc = acc_ref[0, 0]
+    gp_base = (g_ref[0, 0] * (acc <= 1.0).astype(jnp.float32))[:, :, None]
+    if band_only:
+        # Restrict gradient flow to silhouette-BAND pixels (0 < acc < 1).
+        # Non-band pixels carry only internal-mesh-edge contributions whose
+        # pose gradients cancel pairwise (adjacent faces share the edge, so
+        # d(cov_A + cov_B)/d(edge) = 0 exactly away from clipping); dropping
+        # them leaves the pose gradient intact to roundoff while letting
+        # every interior/background tile skip its backward entirely.
+        band = ((acc > 0.0) & (acc < 1.0)).astype(jnp.float32)[:, :, None]
+        gp_base = gp_base * band
+    dcam_ref[0, 0] = jnp.zeros((POSE_RECORD, CHUNK), jnp.float32)
+    # Exact tile skip: every contribution below is linear in gp_base, so a
+    # tile whose masked cotangent is identically zero (background tiles,
+    # perfectly matched saturated interiors) produces exactly no gradient.
+    any_live = jnp.max(jnp.abs(gp_base)) > 0.0
+
+    for k in range(0, cap, CHUNK):
+        c = min(CHUNK, cap - k)
+
+        @pl.when((k < count) & any_live)
+        def _():
+            blk = rec_ref[0, 0, :, k : k + c]
+            s = _chunk_setup(blk, cam, x0, y0, near, far)
+            cov, ds, dbb, dmin = _chunk_coverage(
+                s, px, py, count - k, sharpness
+            )
+            in_band = (cov > 0.0) & (cov < 1.0)
+            gp = gp_base * in_band.astype(jnp.float32) * sharpness
+
+            # --- pixel reductions: d(loss)/d(edge fields), [1, C] rows ---
+            m0 = ds[0] <= dmin
+            m1 = (ds[1] <= dmin) & ~m0
+            m2 = (ds[2] <= dmin) & ~m0 & ~m1
+            mb = ~m0 & ~m1 & ~m2
+
+            def red(val):  # [th, tw, C] -> [1, C]
+                return jnp.sum(val, axis=(0, 1))[None, :]
+
+            dabc = []
+            for m in (m0, m1, m2):
+                sgp = gp * m.astype(jnp.float32)
+                dabc.append((red(sgp * px), red(sgp * py), red(sgp)))
+
+            lox, loy, hix, hiy = (x.reshape(1, 1, c) for x in s["bbox"])
+            axl = (px - lox) <= dbb
+            axh = ((hix - px) <= dbb) & ~axl
+            ayl = ((py - loy) <= dbb) & ~axl & ~axh
+            ayh = ~axl & ~axh & ~ayl
+            sb = gp * mb.astype(jnp.float32)
+            dlox = -red(sb * axl.astype(jnp.float32))
+            dloy = -red(sb * ayl.astype(jnp.float32))
+            dhix = red(sb * axh.astype(jnp.float32))
+            dhiy = red(sb * ayh.astype(jnp.float32))
+
+            # --- chain: edge fields -> corner pixel coords ([1, C] rows) ---
+            u, v = s["u"], s["v"]
+            du = [jnp.zeros_like(u[0]) for _ in range(3)]
+            dv = [jnp.zeros_like(u[0]) for _ in range(3)]
+            for e, (ia, ib) in enumerate(((0, 1), (1, 2), (2, 0))):
+                a, bb_, cst, p, q, n, inv = s["edges"][e]
+                da, db, dc = dabc[e]
+                # cst = -(a*ua + b*va)
+                da_t = da - dc * u[ia]
+                db_t = db - dc * v[ia]
+                du[ia] += -a * dc
+                dv[ia] += -bb_ * dc
+                # a = p*inv, b = q*inv, inv = orient/max(|pq|, eps)
+                sdot = (da_t * p + db_t * q) / (n * n)
+                dp = inv * (da_t - sdot * p)
+                dq = inv * (db_t - sdot * q)
+                # p = va - vb ; q = ub - ua
+                dv[ia] += dp
+                dv[ib] -= dp
+                du[ib] += dq
+                du[ia] -= dq
+
+            bb = s["bbox"]
+            for (dlo, vals, dvs) in (
+                (dlox, u, du),
+                (dloy, v, dv),
+            ):
+                tgt = bb[0] if vals is u else bb[1]
+                for arm, mvs in zip(_first_match_arms(vals, tgt), range(3)):
+                    dvs[mvs] += dlo * arm.astype(jnp.float32)
+            for (dhi, vals, dvs) in (
+                (dhix, u, du),
+                (dhiy, v, dv),
+            ):
+                tgt = bb[2] if vals is u else bb[3]
+                for arm, mvs in zip(_first_match_arms(vals, tgt), range(3)):
+                    dvs[mvs] += dhi * arm.astype(jnp.float32)
+
+            # --- chain: pixel coords -> camera coords -> dTc partials -----
+            vmask = s["valid"].astype(jnp.float32)
+            acc12 = []
+            for ci in range(3):
+                zs = s["zc"][ci]
+                izs = 1.0 / zs
+                dxc = du[ci] * fx * izs * vmask
+                dyc = dv[ci] * fy * izs * vmask
+                dzc = (
+                    -(du[ci] * fx * s["xc"][ci] + dv[ci] * fy * s["yc"][ci])
+                    * izs
+                    * izs
+                    * vmask
+                )
+                acc12.append((dxc, dyc, dzc, ci))
+
+            # dTc[r, j] partials: row r*4+j += sum_corners dXc_r * Xb_j
+            rows = []
+            for r in range(3):
+                for j in range(4):
+                    tot = None
+                    for (dxc, dyc, dzc, ci) in acc12:
+                        dcomp = (dxc, dyc, dzc)[r]
+                        xb = blk[4 * ci + j : 4 * ci + j + 1, :]
+                        term = dcomp * xb
+                        tot = term if tot is None else tot + term
+                    rows.append(tot)
+            rows += [jnp.zeros_like(rows[0])] * (POSE_RECORD - 12)
+            upd = jnp.concatenate(rows, axis=0)  # [POSE_RECORD, c]
+            if c == CHUNK:
+                dcam_ref[0, 0] += upd
+            else:
+                dcam_ref[0, 0, :, :c] += upd
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pose_silhouette(
+    th: int, tw: int, cap: int, sharpness: float, near: float, far: float,
+    n_tx: int, band_only: bool,
+):
+    interpret = not _on_tpu()
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+    def fwd_call(cam, rec, counts):
+        B, n_tiles = rec.shape[0], rec.shape[1]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, POSE_RECORD, cap),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _fwd_kernel, th=th, tw=tw, cap=cap, sharpness=sharpness,
+                near=near, far=far, n_tx=n_tx,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, n_tiles, th, tw), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_tiles, th, tw), jnp.float32),
+            ],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(counts, cam, rec)
+
+    def bwd_call(cam, rec, counts, acc, g):
+        B, n_tiles = rec.shape[0], rec.shape[1]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, POSE_RECORD, cap),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, POSE_RECORD, CHUNK),
+                lambda b, i, *_: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _bwd_kernel, th=th, tw=tw, cap=cap, sharpness=sharpness,
+                near=near, far=far, n_tx=n_tx, band_only=band_only,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (B, n_tiles, POSE_RECORD, CHUNK), jnp.float32
+            ),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(counts, cam, rec, acc, g)
+
+    @jax.custom_vjp
+    def pose_sil(cam, rec, counts):
+        out, _ = fwd_call(cam, rec, counts)
+        return out
+
+    def pose_sil_fwd(cam, rec, counts):
+        out, acc = fwd_call(cam, rec, counts)
+        return out, (cam, rec, counts, acc)
+
+    def pose_sil_bwd(res, g):
+        cam, rec, counts, acc = res
+        parts = bwd_call(cam, rec, counts, acc, g)
+        dcam = jnp.sum(parts, axis=(1, 3))  # [B, POSE_RECORD] -> rows 0..11
+        return dcam[:, :16], None, None
+
+    pose_sil.defvjp(pose_sil_fwd, pose_sil_bwd)
+    return pose_sil
+
+
+def pose_tile_silhouette(
+    cam: jax.Array,
+    rec: jax.Array,
+    counts: jax.Array,
+    tile_h: int,
+    tile_w: int,
+    n_tx: int,
+    sharpness: float = 1.0,
+    near: float = 0.001,
+    far: float = 10.0,
+    band_only: bool = False,
+) -> jax.Array:
+    """Rasterize base-frame corner records under per-frame camera poses.
+
+    cam:    [B, 16] f32 — rows 0..11 = Tc_c2b[:3, :4] row-major, rows
+            12..15 = fx, fy, cx, cy. The ONLY differentiable input.
+    rec:    [B, n_tiles, POSE_RECORD, cap] f32 — per-slot base-frame corner
+            positions (x,y,z,w per corner; zero = empty sentinel), packed
+            once per rebin window (see render.fused).
+    counts: [B, n_tiles] int32.
+    -> [B, n_tiles, tile_h, tile_w] soft coverage; analytic VJP to `cam`.
+    """
+    cap = rec.shape[-1]
+    fn = _make_pose_silhouette(
+        int(tile_h), int(tile_w), int(cap), float(sharpness), float(near),
+        float(far), int(n_tx), bool(band_only),
+    )
+    return fn(cam, rec, counts.astype(jnp.int32))

@@ -1,0 +1,212 @@
+"""Fused-pose silhouette path: static per-rebin records, per-step kernel.
+
+Builds the inputs of ops.pose_raster.pose_tile_silhouette:
+
+- At REBIN time (amortized over solver.rebin_every steps): project the
+  triangles under the current pose, bin their dilated bboxes with the
+  counting binner, and pack per-tile records of BASE-frame corner
+  positions Xb = T_base_from_link(qpos) @ X_rest. The records and bins are
+  integer/constant state — `jax.lax.stop_gradient` everywhere.
+
+- At STEP time: one kernel call whose only differentiable input is the
+  16-scalar per-frame camera row [Tc[:3,:4] | fx fy cx cy]. No per-step
+  gather, pack, or scatter — this removes the ~24 ms/step record-pack
+  fwd+bwd that dominated the unfused profile (see ops/pose_raster.py).
+
+Role in the reference: together with ops.pose_raster this is the
+differentiable-rendering hot path of RBSolver (reference
+easyhec/modeling/models/rb_solve/rb_solver.py:41-72 +
+easyhec/structures/nvdiffrast_renderer.py:25-47), restructured so the
+optimizer loop's per-step work is exactly one fused rasterize+gradient
+program.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera
+from ..ops.pose_raster import POSE_RECORD, pose_tile_silhouette
+from .binning import BinState, bin_count
+from .projection import setup_triangles_corners
+
+__all__ = ["FusedState", "build_fused_state", "silhouette_fused", "cam_rows"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class FusedState(NamedTuple):
+    """Per-rebin state for the fused-pose silhouette path.
+
+    rec:      [Bflat, n_tiles, POSE_RECORD, cap] f32 base-frame corner
+              records (x,y,z,w per corner; all-zero = empty slot)
+    counts:   [Bflat, n_tiles] int32
+    overflow: [] bool — a bin exceeded cap or a bbox exceeded the rect
+              enumeration window at rebin time
+    """
+
+    rec: jax.Array
+    counts: jax.Array
+    overflow: jax.Array
+
+
+def cam_rows(Tc_c2b: jax.Array, K: jax.Array, batch: int) -> jax.Array:
+    """[B, 16] kernel camera rows from a pose and intrinsics.
+
+    Tc_c2b: [4, 4] or [B, 4, 4]; K: [3, 3]. The kernel's only
+    differentiable input.
+    """
+    T = Tc_c2b[..., :3, :4]
+    flat = T.reshape(T.shape[:-2] + (12,))
+    if flat.ndim == 1:
+        flat = jnp.broadcast_to(flat, (batch, 12))
+    kvec = jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
+    kvec = jnp.broadcast_to(kvec, (batch, 4))
+    return jnp.concatenate([flat, kvec], axis=-1)
+
+
+def _base_corner_fields(corners_rest, face_link_onehot, link_poses):
+    """Base-frame corner fields [B, 12, F] (+valid w folded by caller).
+
+    corners_rest: [3, 4, F]; face_link_onehot: [L, F];
+    link_poses: [B, L, 4, 4] base-from-link (FK output).
+    """
+    P = link_poses[..., :3, :4]  # [B, L, 3, 4]
+    pr = jnp.einsum("bmij,mf->bijf", P, face_link_onehot, precision=_HI)
+    rows = []
+    for c in range(3):
+        r = corners_rest[c]  # [4, F]
+        for i in range(3):
+            rows.append(
+                pr[:, i, 0] * r[0]
+                + pr[:, i, 1] * r[1]
+                + pr[:, i, 2] * r[2]
+                + pr[:, i, 3] * r[3]
+            )
+        rows.append(None)  # w slot, filled by caller with the valid row
+    return rows  # list of 12 entries ([B, F] or None at w slots)
+
+
+def build_fused_state(
+    renderer,
+    Tc_c2b: jax.Array,
+    link_poses: jax.Array,
+    K: jax.Array,
+) -> FusedState:
+    """Bin + pack base-frame corner records under the current pose.
+
+    link_poses: [..., L, 4, 4]; leading batch axes are flattened (the
+    kernel runs over the flat frame axis, like silhouette_counted).
+    """
+    cfg = renderer.tile
+    H, W = renderer.H, renderer.W
+    batch = link_poses.shape[:-3]
+    lp = link_poses.reshape((-1,) + link_poses.shape[-3:])
+    B = lp.shape[0]
+    Tc = Tc_c2b
+    if Tc.ndim > 2:
+        Tc = Tc.reshape((-1, 4, 4))
+
+    # Screen-space triangles under the CURRENT pose: bbox + validity
+    # (including optional backface culling) — reuses the standard setup.
+    Tc_c2l = jnp.einsum(
+        "ij,bljk->blik" if Tc.ndim == 2 else "bij,bljk->blik",
+        Tc, lp, precision=_HI,
+    )
+    tris = setup_triangles_corners(
+        renderer.corners_rest,
+        renderer.face_link_onehot,
+        Tc_c2l,
+        K,
+        cull_backfaces=cfg.cull_backfaces,
+    )
+
+    lox = jnp.min(tris.u, axis=-2)
+    hix = jnp.max(tris.u, axis=-2)
+    loy = jnp.min(tris.v, axis=-2)
+    hiy = jnp.max(tris.v, axis=-2)
+
+    n_ty, n_tx = _cdiv(H, cfg.tile_h), _cdiv(W, cfg.tile_w)
+    if n_ty * n_tx <= 64:
+        auto_ry, auto_rx = n_ty, n_tx
+    else:
+        auto_ry = min(n_ty, max(2, 64 // cfg.tile_h + 1))
+        auto_rx = min(n_tx, max(2, 64 // cfg.tile_w + 1))
+    ry = min(cfg.rect_y, n_ty) if cfg.rect_y else auto_ry
+    rx = min(cfg.rect_x, n_tx) if cfg.rect_x else auto_rx
+    m = cfg.margin
+    state: BinState = bin_count(
+        lox - m, loy - m, hix + m, hiy + m, tris.valid,
+        H=H, W=W, tile_h=cfg.tile_h, tile_w=cfg.tile_w, cap=cfg.capacity,
+        ry=ry, rx=rx,
+    )
+
+    # Base-frame corner fields; w row = valid (0 disables the slot via the
+    # kernel's z>near test on Xc = Tc @ 0 = 0).
+    rows = _base_corner_fields(
+        renderer.corners_rest, renderer.face_link_onehot, lp
+    )
+    vrow = tris.valid.astype(jnp.float32)
+    fields = jnp.stack(
+        [vrow if r is None else r for r in rows], axis=1
+    )  # [B, 12, F]
+
+    F = fields.shape[-1]
+    fpad = jnp.concatenate(
+        [fields, jnp.zeros((B, 12, 1), fields.dtype)], axis=-1
+    )
+    idx = state.idx  # [B, n_tiles, cap]
+    g = jax.vmap(lambda f, i: jnp.take(f, i.reshape(-1), axis=-1))(fpad, idx)
+    K_tiles, cap = idx.shape[-2:]
+    g = g.reshape(B, 12, K_tiles, cap)
+    rec = jnp.concatenate(
+        [g, jnp.zeros((B, POSE_RECORD - 12, K_tiles, cap), g.dtype)], axis=1
+    )
+    rec = jnp.swapaxes(rec, 1, 2)  # [B, n_tiles, 16, cap]
+    return FusedState(
+        rec=jax.lax.stop_gradient(rec),
+        counts=jax.lax.stop_gradient(state.counts),
+        overflow=jax.lax.stop_gradient(state.overflow),
+    )
+
+
+def silhouette_fused(
+    renderer,
+    Tc_c2b: jax.Array,
+    link_poses: jax.Array,
+    K: jax.Array,
+    sharpness: float = 1.0,
+    state: FusedState | None = None,
+) -> jax.Array:
+    """Soft silhouette via the fused-pose kernel.
+
+    Tc_c2b [4,4] (or [B,4,4] matching the flattened frame batch);
+    link_poses [..., L, 4, 4]; -> [..., H, W]. Gradients flow through
+    Tc_c2b only (link_poses enter via the per-rebin records — exact for
+    fixed qpos, which is the calibration contract).
+    """
+    from .tiled import _untile
+
+    cfg = renderer.tile
+    H, W = renderer.H, renderer.W
+    batch = link_poses.shape[:-3]
+    B = 1
+    for s in batch:
+        B *= s
+    if state is None:
+        state = build_fused_state(renderer, Tc_c2b, link_poses, K)
+    cam = cam_rows(Tc_c2b, K, B)
+    n_tx = _cdiv(W, cfg.tile_w)
+    tiles = pose_tile_silhouette(
+        cam, state.rec, state.counts, cfg.tile_h, cfg.tile_w, n_tx,
+        sharpness, camera.NEAR_DEFAULT, camera.FAR_DEFAULT,
+        band_only=cfg.bwd_band_only,
+    )
+    img = _untile(tiles, H, W, cfg)
+    return img.reshape(batch + (H, W))

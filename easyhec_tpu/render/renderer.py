@@ -132,8 +132,17 @@ class RobotRenderer:
 
         bin_state: optional precomputed BinState (from self.bin_state) to
         reuse tile bins across optimizer steps (count binner only) —
-        amortizes the binning pass over rebin_every steps.
+        amortizes the binning pass over rebin_every steps. With
+        tile.fused=True this is a FusedState and the render runs the
+        fused-pose kernel (gradients through Tc_c2b only).
         """
+        if self.tile.fused and self.mode != "brute" and self.tile.use_pallas:
+            from .fused import FusedState, silhouette_fused
+
+            if bin_state is None or isinstance(bin_state, FusedState):
+                return silhouette_fused(
+                    self, Tc_c2b, link_poses, K, sharpness, state=bin_state
+                )
         Tc_c2l = self.camera_link_poses(Tc_c2b, link_poses)
         if self.mode == "brute":
             tris = self._triangles(Tc_c2l, K)
@@ -154,8 +163,14 @@ class RobotRenderer:
         """Compute the counting-binner state for the current pose (count
         binner only). Leaves carry the FLATTENED frame batch; feed back via
         silhouette(..., bin_state=...) while the pose stays within
-        tile.margin pixels of where the state was computed."""
+        tile.margin pixels of where the state was computed. With
+        tile.fused=True, returns a FusedState (records + bins)."""
         from .binning import fields_and_bins
+
+        if self.tile.fused and self.mode != "brute" and self.tile.use_pallas:
+            from .fused import build_fused_state
+
+            return build_fused_state(self, Tc_c2b, link_poses, K)
 
         Tc_c2l = self.camera_link_poses(Tc_c2b, link_poses)
         tris = self._triangles_soa(Tc_c2l, K)

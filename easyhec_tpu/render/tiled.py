@@ -47,6 +47,14 @@ class TileConfig(NamedTuple):
     #                  size; production configs set tight windows for speed)
     margin: float = 1.0  # bbox dilation (px): soft-band + rebin drift budget
     cull_backfaces: bool = False  # exact for closed oriented meshes
+    fused: bool = False  # fused-pose kernel (render/fused.py): records are
+    #                      packed per rebin, gradients flow through the
+    #                      camera pose only (the calibration contract)
+    bwd_band_only: bool = False  # fused backward: gradient only from
+    #                      silhouette-band pixels (0 < acc < 1); interior
+    #                      internal-edge contributions cancel pairwise in
+    #                      pose space, so this is exact to roundoff while
+    #                      letting interior/background tiles skip backward
 
 
 def _cdiv(a: int, b: int) -> int:

@@ -79,6 +79,7 @@ def build_runtime(cfg: Config) -> Runtime:
         rect_x=cfg.render.rect_x,
         margin=cfg.render.margin,
         cull_backfaces=cfg.render.cull_backfaces,
+        fused=cfg.render.fused,
     )
     renderer = RobotRenderer(
         meshes, cfg.model.H, cfg.model.W, tile=tile, mode=cfg.render.mode
