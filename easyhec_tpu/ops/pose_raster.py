@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pose_tile_silhouette", "POSE_RECORD"]
 
-POSE_RECORD = 16  # f32 sublanes: [x0 y0 z0 w0 x1 y1 z1 w1 x2 y2 z2 w2 0 0 0 0]
+POSE_RECORD = 12  # f32 sublanes: [x0 y0 z0 w0 x1 y1 z1 w1 x2 y2 z2 w2]
 CHUNK = 128
 _EPS_Z = 1e-9
 _EPS_N = 1e-12
@@ -176,7 +176,7 @@ def _fwd_kernel(
         # Saturation early-out (see tile_raster._fwd_kernel).
         @pl.when((k < count) & (jnp.min(acc_ref[0, 0]) < 2.0))
         def _():
-            s = _chunk_setup(rec_ref[0, 0, :, k : k + c], cam, x0, y0, near, far)
+            s = _chunk_setup(rec_ref[0, :, k : k + c], cam, x0, y0, near, far)
             cov, *_ = _chunk_coverage(s, px, py, count - k, sharpness)
             acc_ref[0, 0] += jnp.sum(cov, axis=-1)
 
@@ -230,7 +230,7 @@ def _bwd_kernel(
 
         @pl.when((k < count) & any_live)
         def _():
-            blk = rec_ref[0, 0, :, k : k + c]
+            blk = rec_ref[0, :, k : k + c]
             s = _chunk_setup(blk, cam, x0, y0, near, far)
             cov, ds, dbb, dmin = _chunk_coverage(
                 s, px, py, count - k, sharpness
@@ -328,7 +328,6 @@ def _bwd_kernel(
                         term = dcomp * xb
                         tot = term if tot is None else tot + term
                     rows.append(tot)
-            rows += [jnp.zeros_like(rows[0])] * (POSE_RECORD - 12)
             upd = jnp.concatenate(rows, axis=0)  # [POSE_RECORD, c]
             if c == CHUNK:
                 dcam_ref[0, 0] += upd
@@ -345,14 +344,14 @@ def _make_pose_silhouette(
     compiler_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
     def fwd_call(cam, rec, counts):
-        B, n_tiles = rec.shape[0], rec.shape[1]
+        B, n_tiles = rec.shape[0], rec.shape[-1] // cap
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, n_tiles),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, POSE_RECORD, cap),
-                    lambda b, i, *_: (b, i, 0, 0),
+                    (1, POSE_RECORD, cap),
+                    lambda b, i, *_: (b, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -384,14 +383,14 @@ def _make_pose_silhouette(
         )(counts, cam, rec)
 
     def bwd_call(cam, rec, counts, acc, g):
-        B, n_tiles = rec.shape[0], rec.shape[1]
+        B, n_tiles = rec.shape[0], rec.shape[-1] // cap
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, n_tiles),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, POSE_RECORD, cap),
-                    lambda b, i, *_: (b, i, 0, 0),
+                    (1, POSE_RECORD, cap),
+                    lambda b, i, *_: (b, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -436,8 +435,10 @@ def _make_pose_silhouette(
     def pose_sil_bwd(res, g):
         cam, rec, counts, acc = res
         parts = bwd_call(cam, rec, counts, acc, g)
-        dcam = jnp.sum(parts, axis=(1, 3))  # [B, POSE_RECORD] -> rows 0..11
-        return dcam[:, :16], None, None
+        dcam = jnp.sum(parts, axis=(1, 3))  # [B, 12] pose-matrix gradient
+        # Intrinsics rows (fx fy cx cy) are non-optimized constants -> 0.
+        dcam = jnp.pad(dcam, ((0, 0), (0, 4)))
+        return dcam, None, None
 
     pose_sil.defvjp(pose_sil_fwd, pose_sil_bwd)
     return pose_sil
@@ -459,13 +460,15 @@ def pose_tile_silhouette(
 
     cam:    [B, 16] f32 — rows 0..11 = Tc_c2b[:3, :4] row-major, rows
             12..15 = fx, fy, cx, cy. The ONLY differentiable input.
-    rec:    [B, n_tiles, POSE_RECORD, cap] f32 — per-slot base-frame corner
-            positions (x,y,z,w per corner; zero = empty sentinel), packed
-            once per rebin window (see render.fused).
+    rec:    [B, POSE_RECORD, n_tiles*cap] f32 — field-major per-slot
+            base-frame corner positions (x,y,z,w per corner; zero = empty
+            sentinel), packed once per rebin window (render.fused). The
+            field-major layout IS the pack-gather's natural output — no
+            transpose or pad between gather and kernel.
     counts: [B, n_tiles] int32.
     -> [B, n_tiles, tile_h, tile_w] soft coverage; analytic VJP to `cam`.
     """
-    cap = rec.shape[-1]
+    cap = rec.shape[-1] // counts.shape[-1]
     fn = _make_pose_silhouette(
         int(tile_h), int(tile_w), int(cap), float(sharpness), float(near),
         float(far), int(n_tx), bool(band_only),

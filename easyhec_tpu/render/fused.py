@@ -44,8 +44,8 @@ def _cdiv(a: int, b: int) -> int:
 class FusedState(NamedTuple):
     """Per-rebin state for the fused-pose silhouette path.
 
-    rec:      [Bflat, n_tiles, POSE_RECORD, cap] f32 base-frame corner
-              records (x,y,z,w per corner; all-zero = empty slot)
+    rec:      [Bflat, POSE_RECORD, n_tiles*cap] f32 field-major base-frame
+              corner records (x,y,z,w per corner; all-zero = empty slot)
     counts:   [Bflat, n_tiles] int32
     overflow: [] bool — a bin exceeded cap or a bbox exceeded the rect
               enumeration window at rebin time
@@ -157,18 +157,18 @@ def build_fused_state(
         [vrow if r is None else r for r in rows], axis=1
     )  # [B, 12, F]
 
-    F = fields.shape[-1]
     fpad = jnp.concatenate(
         [fields, jnp.zeros((B, 12, 1), fields.dtype)], axis=-1
     )
+    # Materialize the field table before gathering: without the barrier XLA
+    # fuses the field computation INTO the gather, re-evaluating it per
+    # gathered element (measured 21 ms vs 5 ms for the identical gather on
+    # a materialized operand).
+    fpad = jax.lax.optimization_barrier(fpad)
     idx = state.idx  # [B, n_tiles, cap]
-    g = jax.vmap(lambda f, i: jnp.take(f, i.reshape(-1), axis=-1))(fpad, idx)
-    K_tiles, cap = idx.shape[-2:]
-    g = g.reshape(B, 12, K_tiles, cap)
-    rec = jnp.concatenate(
-        [g, jnp.zeros((B, POSE_RECORD - 12, K_tiles, cap), g.dtype)], axis=1
-    )
-    rec = jnp.swapaxes(rec, 1, 2)  # [B, n_tiles, 16, cap]
+    # Field-major [B, 12, n_tiles*cap] — exactly the kernel's record layout,
+    # so the gather output feeds the kernel with no transpose or padding.
+    rec = jax.vmap(lambda f, i: jnp.take(f, i.reshape(-1), axis=-1))(fpad, idx)
     return FusedState(
         rec=jax.lax.stop_gradient(rec),
         counts=jax.lax.stop_gradient(state.counts),
