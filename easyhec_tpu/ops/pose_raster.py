@@ -170,15 +170,25 @@ def _fwd_kernel(
     px, py = _pix_grids(th, tw)
 
     acc_ref[0, 0] = jnp.zeros((th, tw), jnp.float32)
-    for k in range(0, cap, CHUNK):
-        c = min(CHUNK, cap - k)
+
+    # Dynamic loop over OCCUPIED chunks only: cost scales with bin
+    # occupancy, not capacity. (A Python-unrolled loop over cap//CHUNK
+    # copies of the body made caps > 512 pathologically slow — the
+    # scheduler keeps many chunk intermediates live, spilling VMEM.)
+    def body(j, _):
+        k = j * CHUNK
 
         # Saturation early-out (see tile_raster._fwd_kernel).
-        @pl.when((k < count) & (jnp.min(acc_ref[0, 0]) < 2.0))
+        @pl.when(jnp.min(acc_ref[0, 0]) < 2.0)
         def _():
-            s = _chunk_setup(rec_ref[0, :, k : k + c], cam, x0, y0, near, far)
+            blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
+            s = _chunk_setup(blk, cam, x0, y0, near, far)
             cov, *_ = _chunk_coverage(s, px, py, count - k, sharpness)
             acc_ref[0, 0] += jnp.sum(cov, axis=-1)
+
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(count, CHUNK), body, 0)
 
     acc = acc_ref[0, 0]
     out_ref[0, 0] = jnp.minimum(jnp.maximum(acc, 0.0), 1.0)
@@ -196,6 +206,120 @@ def _first_match_arms(cands, target):
     return arms
 
 
+def _bwd_chunk(blk, cam, x0, y0, gp_base, px, py, remaining, sharpness,
+               near, far):
+    """Analytic backward of one record chunk: d(loss)/d(Tc) lane partials.
+
+    gp_base: [th, tw, 1] masked loss cotangent. Returns upd [POSE_RECORD,
+    CHUNK]: row r*4+j holds per-lane partials of dTc[r, j].
+    """
+    fx, fy = cam[12], cam[13]
+    s = _chunk_setup(blk, cam, x0, y0, near, far)
+    cov, ds, dbb, dmin = _chunk_coverage(s, px, py, remaining, sharpness)
+    in_band = (cov > 0.0) & (cov < 1.0)
+    gp = gp_base * in_band.astype(jnp.float32) * sharpness
+
+    # --- pixel reductions: d(loss)/d(edge fields), [1, C] rows ---
+    m0 = ds[0] <= dmin
+    m1 = (ds[1] <= dmin) & ~m0
+    m2 = (ds[2] <= dmin) & ~m0 & ~m1
+    mb = ~m0 & ~m1 & ~m2
+
+    def red(val):  # [th, tw, C] -> [1, C]
+        return jnp.sum(val, axis=(0, 1))[None, :]
+
+    dabc = []
+    for m in (m0, m1, m2):
+        sgp = gp * m.astype(jnp.float32)
+        dabc.append((red(sgp * px), red(sgp * py), red(sgp)))
+
+    lox, loy, hix, hiy = (x.reshape(1, 1, CHUNK) for x in s["bbox"])
+    axl = (px - lox) <= dbb
+    axh = ((hix - px) <= dbb) & ~axl
+    ayl = ((py - loy) <= dbb) & ~axl & ~axh
+    ayh = ~axl & ~axh & ~ayl
+    sb = gp * mb.astype(jnp.float32)
+    dlox = -red(sb * axl.astype(jnp.float32))
+    dloy = -red(sb * ayl.astype(jnp.float32))
+    dhix = red(sb * axh.astype(jnp.float32))
+    dhiy = red(sb * ayh.astype(jnp.float32))
+
+    # --- chain: edge fields -> corner pixel coords ([1, C] rows) ---
+    u, v = s["u"], s["v"]
+    du = [jnp.zeros_like(u[0]) for _ in range(3)]
+    dv = [jnp.zeros_like(u[0]) for _ in range(3)]
+    for e, (ia, ib) in enumerate(((0, 1), (1, 2), (2, 0))):
+        a, bb_, cst, pp, q, n, inv = s["edges"][e]
+        da, db, dc = dabc[e]
+        # cst = -(a*ua + b*va)
+        da_t = da - dc * u[ia]
+        db_t = db - dc * v[ia]
+        du[ia] += -a * dc
+        dv[ia] += -bb_ * dc
+        # a = p*inv, b = q*inv, inv = orient/max(|pq|, eps)
+        sdot = (da_t * pp + db_t * q) / (n * n)
+        dp = inv * (da_t - sdot * pp)
+        dq = inv * (db_t - sdot * q)
+        # p = va - vb ; q = ub - ua
+        dv[ia] += dp
+        dv[ib] -= dp
+        du[ib] += dq
+        du[ia] -= dq
+
+    bb = s["bbox"]
+    for (dlo, vals, dvs) in ((dlox, u, du), (dloy, v, dv)):
+        tgt = bb[0] if vals is u else bb[1]
+        for arm, mvs in zip(_first_match_arms(vals, tgt), range(3)):
+            dvs[mvs] += dlo * arm.astype(jnp.float32)
+    for (dhi, vals, dvs) in ((dhix, u, du), (dhiy, v, dv)):
+        tgt = bb[2] if vals is u else bb[3]
+        for arm, mvs in zip(_first_match_arms(vals, tgt), range(3)):
+            dvs[mvs] += dhi * arm.astype(jnp.float32)
+
+    # --- chain: pixel coords -> camera coords -> dTc partials -----
+    vmask = s["valid"].astype(jnp.float32)
+    acc12 = []
+    for ci in range(3):
+        zs = s["zc"][ci]
+        izs = 1.0 / zs
+        dxc = du[ci] * fx * izs * vmask
+        dyc = dv[ci] * fy * izs * vmask
+        dzc = (
+            -(du[ci] * fx * s["xc"][ci] + dv[ci] * fy * s["yc"][ci])
+            * izs
+            * izs
+            * vmask
+        )
+        acc12.append((dxc, dyc, dzc, ci))
+
+    # dTc[r, j] partials: row r*4+j += sum_corners dXc_r * Xb_j
+    rows = []
+    for r in range(3):
+        for j in range(4):
+            tot = None
+            for (dxc, dyc, dzc, ci) in acc12:
+                dcomp = (dxc, dyc, dzc)[r]
+                xb = blk[4 * ci + j : 4 * ci + j + 1, :]
+                term = dcomp * xb
+                tot = term if tot is None else tot + term
+            rows.append(tot)
+    return jnp.concatenate(rows, axis=0)  # [POSE_RECORD, CHUNK]
+
+
+def _masked_cotangent(acc, g, band_only):
+    gp_base = (g * (acc <= 1.0).astype(jnp.float32))[:, :, None]
+    if band_only:
+        # Restrict gradient flow to silhouette-BAND pixels (0 < acc < 1).
+        # Non-band pixels carry only internal-mesh-edge contributions whose
+        # pose gradients cancel pairwise (adjacent faces share the edge, so
+        # d(cov_A + cov_B)/d(edge) = 0 exactly away from clipping); dropping
+        # them leaves the pose gradient intact to roundoff while letting
+        # every interior/background tile skip its backward entirely.
+        band = ((acc > 0.0) & (acc < 1.0)).astype(jnp.float32)[:, :, None]
+        gp_base = gp_base * band
+    return gp_base
+
+
 def _bwd_kernel(
     counts_ref, cam_ref, rec_ref, acc_ref, g_ref, dcam_ref,
     *, th, tw, cap, sharpness, near, far, n_tx, band_only,
@@ -206,133 +330,28 @@ def _bwd_kernel(
     cam = tuple(cam_ref[b, j] for j in range(16))
     x0, y0 = _tile_origin(i, n_tx, th, tw)
     px, py = _pix_grids(th, tw)
-    fx, fy = cam[12], cam[13]
 
-    acc = acc_ref[0, 0]
-    gp_base = (g_ref[0, 0] * (acc <= 1.0).astype(jnp.float32))[:, :, None]
-    if band_only:
-        # Restrict gradient flow to silhouette-BAND pixels (0 < acc < 1).
-        # Non-band pixels carry only internal-mesh-edge contributions whose
-        # pose gradients cancel pairwise (adjacent faces share the edge, so
-        # d(cov_A + cov_B)/d(edge) = 0 exactly away from clipping); dropping
-        # them leaves the pose gradient intact to roundoff while letting
-        # every interior/background tile skip its backward entirely.
-        band = ((acc > 0.0) & (acc < 1.0)).astype(jnp.float32)[:, :, None]
-        gp_base = gp_base * band
+    gp_base = _masked_cotangent(acc_ref[0, 0], g_ref[0, 0], band_only)
     dcam_ref[0, 0] = jnp.zeros((POSE_RECORD, CHUNK), jnp.float32)
     # Exact tile skip: every contribution below is linear in gp_base, so a
     # tile whose masked cotangent is identically zero (background tiles,
     # perfectly matched saturated interiors) produces exactly no gradient.
     any_live = jnp.max(jnp.abs(gp_base)) > 0.0
 
-    for k in range(0, cap, CHUNK):
-        c = min(CHUNK, cap - k)
+    def body(j, _):
+        k = j * CHUNK
 
-        @pl.when((k < count) & any_live)
+        @pl.when(any_live)
         def _():
-            blk = rec_ref[0, :, k : k + c]
-            s = _chunk_setup(blk, cam, x0, y0, near, far)
-            cov, ds, dbb, dmin = _chunk_coverage(
-                s, px, py, count - k, sharpness
+            blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
+            dcam_ref[0, 0] += _bwd_chunk(
+                blk, cam, x0, y0, gp_base, px, py, count - k, sharpness,
+                near, far,
             )
-            in_band = (cov > 0.0) & (cov < 1.0)
-            gp = gp_base * in_band.astype(jnp.float32) * sharpness
 
-            # --- pixel reductions: d(loss)/d(edge fields), [1, C] rows ---
-            m0 = ds[0] <= dmin
-            m1 = (ds[1] <= dmin) & ~m0
-            m2 = (ds[2] <= dmin) & ~m0 & ~m1
-            mb = ~m0 & ~m1 & ~m2
+        return 0
 
-            def red(val):  # [th, tw, C] -> [1, C]
-                return jnp.sum(val, axis=(0, 1))[None, :]
-
-            dabc = []
-            for m in (m0, m1, m2):
-                sgp = gp * m.astype(jnp.float32)
-                dabc.append((red(sgp * px), red(sgp * py), red(sgp)))
-
-            lox, loy, hix, hiy = (x.reshape(1, 1, c) for x in s["bbox"])
-            axl = (px - lox) <= dbb
-            axh = ((hix - px) <= dbb) & ~axl
-            ayl = ((py - loy) <= dbb) & ~axl & ~axh
-            ayh = ~axl & ~axh & ~ayl
-            sb = gp * mb.astype(jnp.float32)
-            dlox = -red(sb * axl.astype(jnp.float32))
-            dloy = -red(sb * ayl.astype(jnp.float32))
-            dhix = red(sb * axh.astype(jnp.float32))
-            dhiy = red(sb * ayh.astype(jnp.float32))
-
-            # --- chain: edge fields -> corner pixel coords ([1, C] rows) ---
-            u, v = s["u"], s["v"]
-            du = [jnp.zeros_like(u[0]) for _ in range(3)]
-            dv = [jnp.zeros_like(u[0]) for _ in range(3)]
-            for e, (ia, ib) in enumerate(((0, 1), (1, 2), (2, 0))):
-                a, bb_, cst, p, q, n, inv = s["edges"][e]
-                da, db, dc = dabc[e]
-                # cst = -(a*ua + b*va)
-                da_t = da - dc * u[ia]
-                db_t = db - dc * v[ia]
-                du[ia] += -a * dc
-                dv[ia] += -bb_ * dc
-                # a = p*inv, b = q*inv, inv = orient/max(|pq|, eps)
-                sdot = (da_t * p + db_t * q) / (n * n)
-                dp = inv * (da_t - sdot * p)
-                dq = inv * (db_t - sdot * q)
-                # p = va - vb ; q = ub - ua
-                dv[ia] += dp
-                dv[ib] -= dp
-                du[ib] += dq
-                du[ia] -= dq
-
-            bb = s["bbox"]
-            for (dlo, vals, dvs) in (
-                (dlox, u, du),
-                (dloy, v, dv),
-            ):
-                tgt = bb[0] if vals is u else bb[1]
-                for arm, mvs in zip(_first_match_arms(vals, tgt), range(3)):
-                    dvs[mvs] += dlo * arm.astype(jnp.float32)
-            for (dhi, vals, dvs) in (
-                (dhix, u, du),
-                (dhiy, v, dv),
-            ):
-                tgt = bb[2] if vals is u else bb[3]
-                for arm, mvs in zip(_first_match_arms(vals, tgt), range(3)):
-                    dvs[mvs] += dhi * arm.astype(jnp.float32)
-
-            # --- chain: pixel coords -> camera coords -> dTc partials -----
-            vmask = s["valid"].astype(jnp.float32)
-            acc12 = []
-            for ci in range(3):
-                zs = s["zc"][ci]
-                izs = 1.0 / zs
-                dxc = du[ci] * fx * izs * vmask
-                dyc = dv[ci] * fy * izs * vmask
-                dzc = (
-                    -(du[ci] * fx * s["xc"][ci] + dv[ci] * fy * s["yc"][ci])
-                    * izs
-                    * izs
-                    * vmask
-                )
-                acc12.append((dxc, dyc, dzc, ci))
-
-            # dTc[r, j] partials: row r*4+j += sum_corners dXc_r * Xb_j
-            rows = []
-            for r in range(3):
-                for j in range(4):
-                    tot = None
-                    for (dxc, dyc, dzc, ci) in acc12:
-                        dcomp = (dxc, dyc, dzc)[r]
-                        xb = blk[4 * ci + j : 4 * ci + j + 1, :]
-                        term = dcomp * xb
-                        tot = term if tot is None else tot + term
-                    rows.append(tot)
-            upd = jnp.concatenate(rows, axis=0)  # [POSE_RECORD, c]
-            if c == CHUNK:
-                dcam_ref[0, 0] += upd
-            else:
-                dcam_ref[0, 0, :, :c] += upd
+    jax.lax.fori_loop(0, pl.cdiv(count, CHUNK), body, 0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -469,6 +488,8 @@ def pose_tile_silhouette(
     -> [B, n_tiles, tile_h, tile_w] soft coverage; analytic VJP to `cam`.
     """
     cap = rec.shape[-1] // counts.shape[-1]
+    if cap % CHUNK != 0:
+        raise ValueError(f"bin capacity must be a multiple of {CHUNK}, got {cap}")
     fn = _make_pose_silhouette(
         int(tile_h), int(tile_w), int(cap), float(sharpness), float(near),
         float(far), int(n_tx), bool(band_only),
