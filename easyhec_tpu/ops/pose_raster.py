@@ -487,9 +487,17 @@ def pose_tile_silhouette(
     counts: [B, n_tiles] int32.
     -> [B, n_tiles, tile_h, tile_w] soft coverage; analytic VJP to `cam`.
     """
-    cap = rec.shape[-1] // counts.shape[-1]
+    n_tiles = counts.shape[-1]
+    cap = rec.shape[-1] // n_tiles
     if cap % CHUNK != 0:
-        raise ValueError(f"bin capacity must be a multiple of {CHUNK}, got {cap}")
+        # Small-capacity configs (tests, tiny scenes): pad each tile's slot
+        # axis with empty records (all-zero = empty sentinel) up to the lane
+        # chunk. Production configs use CHUNK multiples and skip this.
+        cap_pad = -(-cap // CHUNK) * CHUNK
+        r = rec.reshape(rec.shape[:-1] + (n_tiles, cap))
+        r = jnp.pad(r, [(0, 0)] * (r.ndim - 1) + [(0, cap_pad - cap)])
+        rec = r.reshape(rec.shape[:-1] + (n_tiles * cap_pad,))
+        cap = cap_pad
     fn = _make_pose_silhouette(
         int(tile_h), int(tile_w), int(cap), float(sharpness), float(near),
         float(far), int(n_tx), bool(band_only),
