@@ -69,6 +69,7 @@ def build_scene():
         16, 128, 512, True, binner="count", rect_y=5, rect_x=2, margin=2.0,
         cull_backfaces=True,  # closed CAD meshes: exact, halves bin loads
         fused=True,
+        bin_big_k=2048,  # span-classed binning: ~4x cheaper rebin scatter
     )
     renderer = RobotRenderer(mesh_list, H, W, tile=tile)
     link_idx = jnp.asarray([chain.link_index(n) for n in names])
@@ -80,7 +81,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from easyhec_tpu.geometry import camera, se3
-    from easyhec_tpu.models.calib import mask_loss
+    from easyhec_tpu.models.calib import mask_loss, tile_masks
     from easyhec_tpu.solver.optim import make_optimizer
 
     chain, renderer, link_idx, H, W = build_scene()
@@ -99,6 +100,8 @@ def main() -> int:
         lambda x: renderer.silhouette(se3.exp(x), lp, K)
     )(xi)
     jax.block_until_ready(target)
+    # Pre-tiled reference masks for the fused loss kernel (scan-invariant).
+    ref_tiles = tile_masks(np.asarray(target), renderer)
 
     REBIN = 12
     N_OUTER = 4  # 48 optimizer steps per timed run
@@ -116,7 +119,8 @@ def main() -> int:
             def step(c, _):
                 dof, opt_state = c
                 loss, g = jax.value_and_grad(
-                    lambda d: mask_loss(d, renderer, lp, K, target, bin_state=state)
+                    lambda d: mask_loss(d, renderer, lp, K, target,
+                                        bin_state=state, ref_tiles=ref_tiles)
                 )(dof)
                 u, opt_state2 = opt.update(g, opt_state, dof)
                 return (dof + u, opt_state2), loss

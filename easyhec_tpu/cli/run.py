@@ -23,6 +23,12 @@ def main(argv=None) -> int:
 
     cfg = load_config(args.config_file, args.opts)
 
+    # Multi-process rendezvous from env (the reference's WORLD_SIZE/
+    # LOCAL_RANK + NCCL bootstrap, tools/run_easyhec.py:41-50).
+    from ..parallel import maybe_init_from_env
+
+    maybe_init_from_env()
+
     if args.iterative:
         from ..trainer import run_iterative
 

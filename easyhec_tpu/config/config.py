@@ -45,6 +45,10 @@ class RenderConfig:
     #                     records, in-kernel projection/setup, analytic
     #                     d(loss)/d(Tc) — gradients through the camera pose
     #                     only (the calibration contract)
+    bin_big_k: int = 0  # span-classed binning (binning.bin_count): 0 = dense
+    #                     enumeration; >0 = 2 entries per small triangle +
+    #                     full window for up to bin_big_k large ones (~4x
+    #                     cheaper rebinning at production scale)
 
 
 @dataclass
@@ -84,6 +88,8 @@ class SolverConfig:
     log_interval: int = 100
     save_freq: int = 100
     seed: int = 0
+    load: str = ""  # "latest" resumes from the newest mid-run checkpoint in
+    #                 output_dir/checkpoints (reference base.py:420-440)
 
 
 @dataclass
@@ -105,6 +111,15 @@ class ExplorerConfig:
     self_collision_check: bool = True
     render_downscale: int = 2  # score renders at H/ds x W/ds
     seed: int = 0
+    plan_top_k: int = 10  # try planning to the top-k candidates by variance
+    #                       until one succeeds (reference gates EVERY scored
+    #                       candidate on plan feasibility, space_explorer.py:
+    #                       123-137; planning only the best k preserves the
+    #                       plan-or-skip safety contract at 1/100 the cost)
+    use_workspace_boundary: bool = True  # feed the env obstacle cloud
+    #                       (io/workspace.py) to the motion planner, like the
+    #                       reference's planner.add_point_cloud
+    workspace_table_z: float = 0.0  # table plane height for the obstacle cloud
 
 
 @dataclass

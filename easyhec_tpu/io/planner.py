@@ -215,3 +215,32 @@ def plan_to_qpos(
     if path is None:
         return {"status": "Failure", "duration": 0.0}
     return time_parameterize(path, v_max=v_max, a_max=a_max, dt=dt)
+
+
+def plan_first_feasible(
+    chain: KinematicChain,
+    spheres: LinkSpheres,
+    q_start: np.ndarray,
+    candidates,
+    env_points: np.ndarray | None = None,
+    seed: int = 0,
+    **plan_kwargs,
+) -> tuple[np.ndarray | None, dict | None]:
+    """Plan to the first plannable candidate, in order.
+
+    The explorer's plan-feasibility gate (reference space_explorer.py:
+    97-137 gates every scored candidate on plan success; planning the
+    variance-ranked top-k until one succeeds preserves the plan-or-skip
+    safety contract). Returns (qpos, plan) of the first success, or
+    (None, None) if no candidate is plannable — callers must then SKIP the
+    move, never command an unplanned one.
+    """
+    for cand in candidates:
+        cand = np.asarray(cand, np.float32)
+        plan = plan_to_qpos(
+            chain, spheres, q_start, cand, env_points=env_points,
+            seed=seed, **plan_kwargs,
+        )
+        if plan.get("status") == "Success":
+            return cand, plan
+    return None, None

@@ -67,13 +67,18 @@ def workspace_boundary_points(
     n_box: int = 4000,
     n_table: int = 1000,
     seed: int = 0,
+    base_clear_radius: float = 0.2,
 ) -> np.ndarray:
     """Box-surface + table-plane obstacle cloud (~n_box + n_table points).
 
     Defaults approximate the reference's lab workspace scale; pass the real
     cell geometry in production. Feed to CollisionModel.env_points /
     plan_to_qpos so exploration never plans through walls or the table
-    (reference space_explorer.py:97-98).
+    (reference space_explorer.py:97-98). Table points within
+    base_clear_radius of the robot base are dropped so the base mount never
+    reads as colliding with its own table (reference keeps norm > 0.1,
+    workspace_boundary.py:19-20; the default is larger because the sphere
+    collision model is more conservative than FCL meshes).
     """
     box = box_surface_points(box_min, box_max, n_box, seed)
     # Table samples only outside the box footprint contribute information,
@@ -85,4 +90,6 @@ def workspace_boundary_points(
         n_table,
         seed + 1,
     )
+    if base_clear_radius > 0:
+        tbl = tbl[np.linalg.norm(tbl[:, :2], axis=1) > base_clear_radius]
     return np.concatenate([box, tbl])

@@ -38,6 +38,14 @@ class CalibResult:
     metrics: dict[str, float]  # vs GT when available, else {}
 
 
+def _use_fused_loss(renderer: RobotRenderer) -> bool:
+    return (
+        renderer.tile.fused
+        and renderer.tile.use_pallas
+        and renderer.mode != "brute"
+    )
+
+
 def mask_loss(
     dof: jax.Array,
     renderer: RobotRenderer,
@@ -47,11 +55,17 @@ def mask_loss(
     sharpness: float = 1.0,
     robust_delta: float = 0.0,
     bin_state=None,
+    ref_tiles=None,
 ) -> jax.Array:
     """Σ_pixels (rendered − ref)² per frame, mean over frames.
 
     Exact reference semantics (rb_solver.py:70-72): per-frame SUM of squared
     error, then MEAN over frames.
+
+    With a fused-mode renderer the per-frame loss comes from the fused loss
+    kernel (render.fused.loss_fused) — the silhouette image never leaves the
+    device kernel. Pass ref_tiles (ops.pose_raster.tile_image of masks_ref)
+    to hoist the mask tiling out of optimizer scans.
 
     robust_delta > 0 applies a Huber rho to the per-frame NORMALIZED error
     (per-frame loss divided by the frame's mask area): real capture sets
@@ -60,10 +74,42 @@ def mask_loss(
     away from the consistent majority. delta is in units of mean squared
     error per mask pixel (≈0.3 is a reasonable setting).
     """
+    per_frame = mask_loss_per_frame(
+        dof, renderer, link_poses, K, masks_ref, sharpness, bin_state,
+        ref_tiles,
+    )
+    return _robust_mean(per_frame, masks_ref, robust_delta)
+
+
+def mask_loss_per_frame(
+    dof: jax.Array,
+    renderer: RobotRenderer,
+    link_poses: jax.Array,
+    K: jax.Array,
+    masks_ref: jax.Array,
+    sharpness: float = 1.0,
+    bin_state=None,
+    ref_tiles=None,
+) -> jax.Array:
+    """Per-frame Σ_pixels (rendered − ref)² [..B] (the building block of
+    mask_loss; the sharded path reduces it across mesh axes itself)."""
+    if _use_fused_loss(renderer):
+        from ..render.fused import FusedState, loss_fused
+
+        if bin_state is None or isinstance(bin_state, FusedState):
+            return loss_fused(
+                renderer, se3.exp(dof), link_poses, K, masks_ref,
+                sharpness, state=bin_state, ref_tiles=ref_tiles,
+            )
     sil = renderer.silhouette(
         se3.exp(dof), link_poses, K, sharpness, bin_state=bin_state
     )
-    per_frame = jnp.sum((sil - masks_ref) ** 2, axis=(-2, -1))
+    return jnp.sum((sil - masks_ref) ** 2, axis=(-2, -1))
+
+
+def _robust_mean(
+    per_frame: jax.Array, masks_ref: jax.Array, robust_delta: float
+) -> jax.Array:
     if robust_delta > 0:
         area = jnp.maximum(jnp.sum(masks_ref, axis=(-2, -1)), 1.0)
         norm = per_frame / area
@@ -71,6 +117,21 @@ def mask_loss(
         rho = jnp.where(norm <= d, norm, 2.0 * jnp.sqrt(norm * d) - d)
         return jnp.mean(rho * area)
     return jnp.mean(per_frame)
+
+
+def tile_masks(masks_ref, renderer: RobotRenderer):
+    """Pre-tile reference masks for the fused loss kernel (pass as
+    mask_loss(..., ref_tiles=...) to hoist the tiling out of scans); None
+    when the renderer doesn't use the fused path."""
+    if not _use_fused_loss(renderer):
+        return None
+    from ..ops.pose_raster import tile_image
+
+    cfg = renderer.tile
+    m = jnp.asarray(masks_ref, jnp.float32)
+    return tile_image(
+        m.reshape((-1,) + m.shape[-2:]), cfg.tile_h, cfg.tile_w
+    )
 
 
 def pose_metrics(dof: jax.Array | np.ndarray, Tc_c2b_gt: np.ndarray) -> dict[str, float]:
@@ -156,24 +217,68 @@ def _calibrate_chunk(
         grad_clip=grad_clip,
     )
 
-    reuse_bins = (
-        rebin_every > 1
-        and renderer.mode == "tiled"
+    # Pre-tile the reference masks once per dispatch (fused loss kernel):
+    # the tiling transpose is scan-invariant and must not run per step.
+    ref_tiles = tile_masks(masks_ref, renderer)
+
+    def loss_of(d, bin_state):
+        return mask_loss(
+            d, renderer, link_poses, K, masks_ref, sharpness,
+            robust_delta, bin_state=bin_state, ref_tiles=ref_tiles,
+        )
+
+    def bin_state_of(d):
+        return renderer.bin_state(se3.exp(d), link_poses, K)
+
+    return opt_scan(
+        dof, opt_state, opt, loss_of, bin_state_of, chunk,
+        rebin_every if reuse_bins_ok(renderer) else 1,
+    )
+
+
+def reuse_bins_ok(renderer: RobotRenderer) -> bool:
+    """Whether the renderer supports amortized rebinning (count binner or
+    fused kernel on the Pallas tiled path)."""
+    return (
+        renderer.mode == "tiled"
         and renderer.tile.use_pallas
         and (renderer.tile.binner == "count" or renderer.tile.fused)
     )
 
+
+def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
+             rebin_every: int = 1, combine=None):
+    """The shared optimizer scan: `chunk` Adam steps with amortized
+    rebinning. loss_of(dof, bin_state) -> scalar; bin_state_of(dof) ->
+    renderer bin state. Used identically by the single-chip path and (under
+    shard_map) the sharded path — one optimizer, no fork. Returns
+    (dof, opt_state, losses [chunk], history [chunk, 6]).
+
+    combine: sharded-path hook. When set, loss_of must return
+    (local_objective, local_true_loss) and combine(true_loss, grad) ->
+    (loss, grad) reduces both across mesh axes (explicit psum of the
+    GRADIENT — inside shard_map with check_vma=False, differentiating
+    through a psum'd loss silently mis-transposes, so the loss stays local
+    and the reduction is manual)."""
+
     def make_step(bin_state):
-        loss_g = jax.value_and_grad(
-            lambda d: mask_loss(
-                d, renderer, link_poses, K, masks_ref, sharpness,
-                robust_delta, bin_state=bin_state,
+        if combine is None:
+            loss_g = jax.value_and_grad(lambda d: loss_of(d, bin_state))
+
+            def eval_lg(d):
+                return loss_g(d)
+        else:
+            loss_g = jax.value_and_grad(
+                lambda d: loss_of(d, bin_state), has_aux=True
             )
-        )
+
+            def eval_lg(d):
+                (_, true_local), g = loss_g(d)
+                return combine(true_local, g)
 
         def step(carry, _):
             dof, opt_state = carry
-            loss, g = loss_g(dof)
+            loss, g = eval_lg(dof)
             updates, opt_state = opt.update(g, opt_state, dof)
             dof_new = jax.tree.map(lambda p, u: p + u, dof, updates)
             # scan outputs: the pose BEFORE the update (matches the
@@ -183,7 +288,7 @@ def _calibrate_chunk(
 
         return step
 
-    if not reuse_bins:
+    if rebin_every <= 1:
         (dof, opt_state), (losses, history) = jax.lax.scan(
             make_step(None), (dof, opt_state), None, length=chunk
         )
@@ -194,7 +299,7 @@ def _calibrate_chunk(
 
     def outer(carry, _):
         dof, opt_state = carry
-        state = renderer.bin_state(se3.exp(dof), link_poses, K)
+        state = bin_state_of(dof)
         return jax.lax.scan(make_step(state), (dof, opt_state), None, length=inner)
 
     (dof, opt_state), (losses, history) = jax.lax.scan(
@@ -220,6 +325,8 @@ def _calibrate_scan(
     robust_delta: float = 0.0,
     chunk: int = 50,
     rebin_every: int = 1,
+    resume_state: dict | None = None,
+    step_hook=None,
 ):
     opt = make_optimizer(
         optimizer_name,
@@ -232,6 +339,18 @@ def _calibrate_scan(
     opt_state = opt.init(init_dof)
     losses, history = [], []
     done = 0
+    if resume_state is not None:
+        dof = jnp.asarray(resume_state["dof"], jnp.float32)
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        saved = [
+            jnp.asarray(resume_state[f"opt_{i}"], leaves[i].dtype)
+            for i in range(len(leaves))
+        ]
+        opt_state = jax.tree_util.tree_unflatten(treedef, saved)
+        done = int(resume_state["step"])
+        if done:
+            losses.append(jnp.asarray(resume_state["losses"]))
+            history.append(jnp.asarray(resume_state["history"]))
     while done < num_steps:
         n = min(chunk, num_steps - done)
         dof, opt_state, l, h = _calibrate_chunk(
@@ -254,6 +373,13 @@ def _calibrate_scan(
         losses.append(l)
         history.append(h)
         done += n
+        if step_hook is not None:
+            state = {"dof": np.asarray(dof), "step": done}
+            for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+                state[f"opt_{i}"] = np.asarray(leaf)
+            state["losses"] = np.asarray(jnp.concatenate(losses))
+            state["history"] = np.asarray(jnp.concatenate(history))
+            step_hook(done, state)
     return dof, jnp.concatenate(losses), jnp.concatenate(history)
 
 
@@ -272,8 +398,17 @@ def calibrate(
     robust_delta: float = 0.0,
     rebin_every: int = 1,
     Tc_c2b_gt: np.ndarray | None = None,
+    resume_state: dict | None = None,
+    step_hook=None,
 ) -> CalibResult:
-    """Run the full mask-loss pose optimization as one compiled program."""
+    """Run the full mask-loss pose optimization as one compiled program.
+
+    resume_state: a dict previously passed to step_hook (dof, opt_* leaves,
+    step, losses, history) — continues an interrupted run bit-exactly
+    (reference resume convention, trainer/base.py:420-440). step_hook(done,
+    state) fires after every dispatch chunk with the full resumable state —
+    trainers use it for periodic checkpoints and mid-run image panels.
+    """
     dof, losses, history = _calibrate_scan(
         jnp.asarray(init_dof, jnp.float32),
         jnp.asarray(link_poses, jnp.float32),
@@ -288,6 +423,8 @@ def calibrate(
         float(sharpness),
         float(robust_delta),
         rebin_every=int(rebin_every),
+        resume_state=resume_state,
+        step_hook=step_hook,
     )
     dof_np = np.asarray(dof)
     metrics = (

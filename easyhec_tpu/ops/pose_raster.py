@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pose_tile_silhouette", "POSE_RECORD"]
+__all__ = ["pose_tile_silhouette", "pose_tile_loss", "POSE_RECORD"]
 
 POSE_RECORD = 12  # f32 sublanes: [x0 y0 z0 w0 x1 y1 z1 w1 x2 y2 z2 w2]
 CHUNK = 128
@@ -206,12 +206,25 @@ def _first_match_arms(cands, target):
     return arms
 
 
+def _pix_rows(th: int, tw: int):
+    """[th*tw, 3] pixel-coordinate matrix (px, py, 1) for the MXU-side
+    backward reductions (contracted along the pixel axis)."""
+    px, py = _pix_grids(th, tw)
+    one = jnp.ones((th, tw, 1), jnp.float32)
+    return jnp.concatenate([px, py, one], axis=-1).reshape(th * tw, 3)
+
+
 def _bwd_chunk(blk, cam, x0, y0, gp_base, px, py, remaining, sharpness,
-               near, far):
+               near, far, prows=None):
     """Analytic backward of one record chunk: d(loss)/d(Tc) lane partials.
 
     gp_base: [th, tw, 1] masked loss cotangent. Returns upd [POSE_RECORD,
     CHUNK]: row r*4+j holds per-lane partials of dTc[r, j].
+
+    The nine edge-field reductions Σ_p gp·m_e·{px,py,1} run as three
+    [P,3]ᵀ×[P,C] MXU contractions (prows = _pix_rows) instead of nine VPU
+    sum-reductions over the [P, C] pixel block — the VPU reductions were
+    ~40% of the backward's cycles on v5e.
     """
     fx, fy = cam[12], cam[13]
     s = _chunk_setup(blk, cam, x0, y0, near, far)
@@ -225,13 +238,22 @@ def _bwd_chunk(blk, cam, x0, y0, gp_base, px, py, remaining, sharpness,
     m2 = (ds[2] <= dmin) & ~m0 & ~m1
     mb = ~m0 & ~m1 & ~m2
 
+    C = gp.shape[-1]
+    P = gp.shape[0] * gp.shape[1]
+
     def red(val):  # [th, tw, C] -> [1, C]
         return jnp.sum(val, axis=(0, 1))[None, :]
 
+    if prows is None:
+        prows = _pix_rows(gp.shape[0], gp.shape[1])
     dabc = []
     for m in (m0, m1, m2):
-        sgp = gp * m.astype(jnp.float32)
-        dabc.append((red(sgp * px), red(sgp * py), red(sgp)))
+        G = (gp * m.astype(jnp.float32)).reshape(P, C)
+        r = jax.lax.dot_general(
+            prows, G, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [3, C]: rows = (Σ g·px, Σ g·py, Σ g)
+        dabc.append((r[0:1], r[1:2], r[2:3]))
 
     lox, loy, hix, hiy = (x.reshape(1, 1, CHUNK) for x in s["bbox"])
     axl = (px - lox) <= dbb
@@ -337,6 +359,7 @@ def _bwd_kernel(
     # tile whose masked cotangent is identically zero (background tiles,
     # perfectly matched saturated interiors) produces exactly no gradient.
     any_live = jnp.max(jnp.abs(gp_base)) > 0.0
+    prows = _pix_rows(th, tw)
 
     def body(j, _):
         k = j * CHUNK
@@ -346,7 +369,7 @@ def _bwd_kernel(
             blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
             dcam_ref[0, 0] += _bwd_chunk(
                 blk, cam, x0, y0, gp_base, px, py, count - k, sharpness,
-                near, far,
+                near, far, prows,
             )
 
         return 0
@@ -463,6 +486,276 @@ def _make_pose_silhouette(
     return pose_sil
 
 
+# ---------------------------------------------------------------------------
+# Fused loss kernel: rasterize + mask loss + pose gradient, no image round-trip
+# ---------------------------------------------------------------------------
+
+
+def _crop_mask(x0, y0, px, py, H, W):
+    """[th, tw] validity for pixels inside the cropped H×W image (tile grids
+    cover ceil-multiples of the tile size; out-of-image pixels must not
+    contribute to the loss)."""
+    vy = (py[..., 0] - 0.5 + y0) < H
+    vx = (px[..., 0] - 0.5 + x0) < W
+    return (vy & vx).astype(jnp.float32)
+
+
+def _loss_fwd_kernel(
+    counts_ref, cam_ref, rec_ref, ref_ref, loss_ref, acc_ref,
+    *, th, tw, cap, sharpness, near, far, n_tx, H, W,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    count = counts_ref[b, i]
+    cam = tuple(cam_ref[b, j] for j in range(16))
+    x0, y0 = _tile_origin(i, n_tx, th, tw)
+    px, py = _pix_grids(th, tw)
+
+    acc_ref[0, 0] = jnp.zeros((th, tw), jnp.float32)
+
+    def body(j, _):
+        k = j * CHUNK
+
+        @pl.when(jnp.min(acc_ref[0, 0]) < 2.0)
+        def _():
+            blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
+            s = _chunk_setup(blk, cam, x0, y0, near, far)
+            cov, *_ = _chunk_coverage(s, px, py, count - k, sharpness)
+            acc_ref[0, 0] += jnp.sum(cov, axis=-1)
+
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(count, CHUNK), body, 0)
+
+    acc = acc_ref[0, 0]
+    e = jnp.minimum(jnp.maximum(acc, 0.0), 1.0) - ref_ref[0, 0]
+    e = e * _crop_mask(x0, y0, px, py, H, W)
+    # (1, 1) store: Mosaic cannot store bare scalars to VMEM
+    loss_ref[0, 0] = jnp.reshape(jnp.sum(e * e), (1, 1))
+
+
+def _loss_bwd_kernel(
+    counts_ref, cam_ref, gb_ref, rec_ref, ref_ref, acc_ref, dcam_ref,
+    *, th, tw, cap, sharpness, near, far, n_tx, H, W,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    count = counts_ref[b, i]
+    cam = tuple(cam_ref[b, j] for j in range(16))
+    x0, y0 = _tile_origin(i, n_tx, th, tw)
+    px, py = _pix_grids(th, tw)
+
+    acc = acc_ref[0, 0]
+    e = jnp.minimum(jnp.maximum(acc, 0.0), 1.0) - ref_ref[0, 0]
+    # d(loss_b)/d(acc) = 2·e·1{acc ≤ 1} (sum-clip), zero outside the crop.
+    gp2 = 2.0 * gb_ref[b] * e * (acc <= 1.0).astype(jnp.float32)
+    gp_base = (gp2 * _crop_mask(x0, y0, px, py, H, W))[:, :, None]
+
+    dcam_ref[0, 0] = jnp.zeros((POSE_RECORD, CHUNK), jnp.float32)
+    any_live = jnp.max(jnp.abs(gp_base)) > 0.0
+    prows = _pix_rows(th, tw)
+
+    def body(j, _):
+        k = j * CHUNK
+
+        @pl.when(any_live)
+        def _():
+            blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
+            dcam_ref[0, 0] += _bwd_chunk(
+                blk, cam, x0, y0, gp_base, px, py, count - k, sharpness,
+                near, far, prows,
+            )
+
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(count, CHUNK), body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pose_loss(
+    th: int, tw: int, cap: int, sharpness: float, near: float, far: float,
+    n_tx: int, H: int, W: int,
+):
+    interpret = not _on_tpu()
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+    def fwd_call(cam, rec, counts, ref_tiles):
+        B, n_tiles = rec.shape[0], rec.shape[-1] // cap
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, POSE_RECORD, cap),
+                    lambda b, i, *_: (b, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                # scalar-per-tile loss as a [., ., 1, 1] block: TPU block
+                # shapes must have their last two dims equal to the array's
+                # (a bare (1, 1) block over [B, n_tiles] does not lower)
+                pl.BlockSpec(
+                    (1, 1, 1, 1),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+        )
+        loss4, acc = pl.pallas_call(
+            functools.partial(
+                _loss_fwd_kernel, th=th, tw=tw, cap=cap, sharpness=sharpness,
+                near=near, far=far, n_tx=n_tx, H=H, W=W,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, n_tiles, 1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_tiles, th, tw), jnp.float32),
+            ],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(counts, cam, rec, ref_tiles)
+        return loss4[..., 0, 0], acc
+
+    def bwd_call(cam, rec, counts, ref_tiles, acc, gb):
+        B, n_tiles = rec.shape[0], rec.shape[-1] // cap
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, POSE_RECORD, cap),
+                    lambda b, i, *_: (b, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, th, tw),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, POSE_RECORD, CHUNK),
+                lambda b, i, *_: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _loss_bwd_kernel, th=th, tw=tw, cap=cap, sharpness=sharpness,
+                near=near, far=far, n_tx=n_tx, H=H, W=W,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (B, n_tiles, POSE_RECORD, CHUNK), jnp.float32
+            ),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(counts, cam, gb, rec, ref_tiles, acc)
+
+    @jax.custom_vjp
+    def pose_loss(cam, rec, counts, ref_tiles):
+        loss_tiles, _ = fwd_call(cam, rec, counts, ref_tiles)
+        return jnp.sum(loss_tiles, axis=-1)
+
+    def pose_loss_fwd(cam, rec, counts, ref_tiles):
+        loss_tiles, acc = fwd_call(cam, rec, counts, ref_tiles)
+        return (
+            jnp.sum(loss_tiles, axis=-1),
+            (cam, rec, counts, ref_tiles, acc),
+        )
+
+    def pose_loss_bwd(res, gb):
+        cam, rec, counts, ref_tiles, acc = res
+        parts = bwd_call(cam, rec, counts, ref_tiles, acc, gb)
+        dcam = jnp.sum(parts, axis=(1, 3))  # [B, 12]
+        dcam = jnp.pad(dcam, ((0, 0), (0, 4)))
+        return dcam, None, None, None
+
+    pose_loss.defvjp(pose_loss_fwd, pose_loss_bwd)
+    return pose_loss
+
+
+def tile_image(img: jax.Array, tile_h: int, tile_w: int) -> jax.Array:
+    """[..., H, W] -> [..., n_tiles, tile_h, tile_w] (zero-padded), the
+    layout pose_tile_loss expects for the reference masks. Tile once per
+    dataset, outside the optimizer scan."""
+    H, W = img.shape[-2:]
+    n_ty, n_tx = -(-H // tile_h), -(-W // tile_w)
+    pad = [(0, 0)] * (img.ndim - 2) + [
+        (0, n_ty * tile_h - H), (0, n_tx * tile_w - W)
+    ]
+    p = jnp.pad(img, pad)
+    lead = img.shape[:-2]
+    p = p.reshape(lead + (n_ty, tile_h, n_tx, tile_w))
+    p = jnp.swapaxes(p, -3, -2)
+    return p.reshape(lead + (n_ty * n_tx, tile_h, tile_w))
+
+
+def pose_tile_loss(
+    cam: jax.Array,
+    rec: jax.Array,
+    counts: jax.Array,
+    ref_tiles: jax.Array,
+    tile_h: int,
+    tile_w: int,
+    n_tx: int,
+    H: int,
+    W: int,
+    sharpness: float = 1.0,
+    near: float = 0.001,
+    far: float = 10.0,
+) -> jax.Array:
+    """Per-frame mask loss Σ_pixels (silhouette − ref)², fused in-kernel.
+
+    One forward kernel rasterizes the base-frame corner records (see
+    pose_tile_silhouette) AND reduces the squared mask error per tile — the
+    [B, H, W] silhouette image never round-trips to HBM, and the XLA
+    elementwise loss pass disappears. The backward kernel reads back only
+    the raw coverage accumulator and chains analytically to d(loss)/d(Tc).
+
+    cam [B, 16], rec [B, POSE_RECORD, n_tiles*cap], counts [B, n_tiles],
+    ref_tiles [B, n_tiles, tile_h, tile_w] (tile_image of the masks).
+    -> [B] per-frame loss; VJP to cam only.
+
+    Role in the reference: this is rb_solver.py:60-72 (render + mask loss)
+    collapsed into one fused device program.
+    """
+    n_tiles = counts.shape[-1]
+    cap, rem = divmod(rec.shape[-1], n_tiles)
+    if cap == 0 or rem != 0:
+        raise ValueError(
+            f"rec slot axis ({rec.shape[-1]}) must be a positive multiple of "
+            f"n_tiles ({n_tiles})"
+        )
+    if cap % CHUNK != 0:
+        cap_pad = -(-cap // CHUNK) * CHUNK
+        r = rec.reshape(rec.shape[:-1] + (n_tiles, cap))
+        r = jnp.pad(r, [(0, 0)] * (r.ndim - 1) + [(0, cap_pad - cap)])
+        rec = r.reshape(rec.shape[:-1] + (n_tiles * cap_pad,))
+        cap = cap_pad
+    fn = _make_pose_loss(
+        int(tile_h), int(tile_w), int(cap), float(sharpness), float(near),
+        float(far), int(n_tx), int(H), int(W),
+    )
+    return fn(cam, rec, counts.astype(jnp.int32), ref_tiles)
+
+
 def pose_tile_silhouette(
     cam: jax.Array,
     rec: jax.Array,
@@ -488,7 +781,12 @@ def pose_tile_silhouette(
     -> [B, n_tiles, tile_h, tile_w] soft coverage; analytic VJP to `cam`.
     """
     n_tiles = counts.shape[-1]
-    cap = rec.shape[-1] // n_tiles
+    cap, rem = divmod(rec.shape[-1], n_tiles)
+    if cap == 0 or rem != 0:
+        raise ValueError(
+            f"rec slot axis ({rec.shape[-1]}) must be a positive multiple of "
+            f"n_tiles ({n_tiles}); records are [B, POSE_RECORD, n_tiles*cap]"
+        )
     if cap % CHUNK != 0:
         # Small-capacity configs (tests, tiny scenes): pad each tile's slot
         # axis with empty records (all-zero = empty sentinel) up to the lane

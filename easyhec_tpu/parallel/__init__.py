@@ -1,3 +1,4 @@
+from .distributed import init_distributed, maybe_init_from_env
 from .sharding import (
     make_mesh,
     pad_frames,
@@ -8,5 +9,5 @@ from .sharding import (
 
 __all__ = [
     "make_mesh", "pad_frames", "sharded_calibrate", "sharded_mask_loss",
-    "sharded_silhouette",
+    "sharded_silhouette", "init_distributed", "maybe_init_from_env",
 ]

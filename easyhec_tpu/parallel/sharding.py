@@ -131,41 +131,145 @@ def sharded_calibrate(
     optimizer: str = "adam",
     scheduler: str = "constant",
     sharpness: float = 1.0,
+    robust_delta: float = 0.0,
+    grad_clip: float = 0.0,
+    rebin_every: int = 1,
+    chunk: int = 50,
 ):
-    """Multi-chip calibrate(): the full Adam scan with the sharded loss.
-    masks_ref: [B, H, W] with H = band_h * n_tile. Returns (dof, losses,
-    history) as in models.calib._calibrate_scan."""
+    """Multi-chip calibrate(): the SAME optimizer machinery as the
+    single-chip path (models.calib.opt_scan — fused loss kernel, amortized
+    rebinning, robust delta, grad clip, chunked dispatch), with the loss
+    psum-reduced over the ("data", "tile") mesh inside shard_map.
+
+    masks_ref: [B, H, W] with H = band_h * n_tile (`renderer` built with
+    H = band_h). Returns (dof, losses, history) as in
+    models.calib._calibrate_scan.
+    """
+    from ..models.calib import (
+        mask_loss_per_frame,
+        opt_scan,
+        reuse_bins_ok,
+        tile_masks,
+    )
+
     n_data = mesh.shape["data"]
     n_tile = mesh.shape["tile"]
-    band_h = masks_ref.shape[-2] // n_tile
+    H_full = masks_ref.shape[-2]
+    band_h = H_full // n_tile
+    if band_h != renderer.H:
+        raise ValueError(
+            f"renderer H ({renderer.H}) must equal band height "
+            f"({H_full}//{n_tile}={band_h})"
+        )
 
     lp, w = pad_frames(np.asarray(link_poses, np.float32), n_data)
     masks, _ = pad_frames(np.asarray(masks_ref, np.float32), n_data)
-    loss_fn = sharded_mask_loss(renderer, mesh, band_h, sharpness)
+    B = masks.shape[0]
+    masks_bands = masks.reshape(B, n_tile, band_h, masks.shape[-1])
 
-    data_sh = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
-    lp = jax.device_put(lp, data_sh)
-    masks = jax.device_put(masks, NamedSharding(mesh, P("data", "tile")))
-    wj = jax.device_put(jnp.asarray(w), data_sh)
-    Kj = jax.device_put(jnp.asarray(K, jnp.float32), rep)
-    dof0 = jax.device_put(jnp.asarray(init_dof, jnp.float32), rep)
-
-    opt = make_optimizer(optimizer, max_lr=max_lr, total_steps=num_steps, scheduler=scheduler)
-
-    @jax.jit
-    def run(dof0, lp, Kj, masks, wj):
-        lg = jax.value_and_grad(lambda d: loss_fn(d, lp, Kj, masks, wj))
-
-        def step(carry, _):
-            dof, opt_state = carry
-            loss, g = lg(dof)
-            updates, opt_state = opt.update(g, opt_state, dof)
-            return (dof + updates, opt_state), (loss, dof)
-
-        (dof, _), (losses, history) = jax.lax.scan(
-            step, (dof0, opt.init(dof0)), None, length=num_steps
+    def put(arr, spec):
+        # make_array_from_callback works in BOTH single- and multi-process
+        # SPMD (device_put with a global sharding does not once devices
+        # span processes): every process holds the full host array and each
+        # device picks its shard.
+        a = np.asarray(arr, np.float32)
+        return jax.make_array_from_callback(
+            a.shape, NamedSharding(mesh, spec), lambda idx: a[idx]
         )
-        return dof, losses, history
 
-    return run(dof0, lp, Kj, masks, wj)
+    lp = put(lp, P("data"))
+    masks_bands = put(masks_bands, P("data", "tile"))
+    wj = put(w, P("data"))
+    Kj = put(K, P())
+    dof = put(init_dof, P())
+
+    opt = make_optimizer(
+        optimizer, max_lr=max_lr, total_steps=num_steps,
+        scheduler=scheduler, grad_clip=grad_clip,
+    )
+    eff_rebin = rebin_every if reuse_bins_ok(renderer) else 1
+
+    def chunk_fn(n):
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P(), P("data", "tile"), P("data")),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,  # pallas_call out_shapes carry no vma info
+        )
+        def run(dof, opt_state, lp, K, mb, w):
+            ti = jax.lax.axis_index("tile")
+            Kb = _band_K(K, ti.astype(jnp.float32) * band_h)
+            m_local = mb[:, 0]  # [b_local, band_h, W]
+            ref_tiles = tile_masks(m_local, renderer)
+            # full-image mask area per frame (for robust normalization);
+            # forward-only psum — never differentiated.
+            area = jnp.maximum(
+                jax.lax.psum(jnp.sum(m_local, axis=(-2, -1)), "tile"), 1.0
+            )
+
+            # Inside shard_map with check_vma=False, grad-through-psum
+            # silently mis-transposes (loses the cross-device accumulation).
+            # So the differentiated objective stays LOCAL (this device's
+            # frames × band) and opt_scan's combine psums the gradient —
+            # exact because the full loss is a sum of local terms with
+            # stop-gradient robust weights (rho' = the Huber slope).
+            def loss_of(d, bin_state):
+                pf_local = mask_loss_per_frame(
+                    d, renderer, lp, Kb, m_local, sharpness,
+                    bin_state=bin_state, ref_tiles=ref_tiles,
+                )
+                if robust_delta > 0:
+                    pf_full = jax.lax.psum(
+                        jax.lax.stop_gradient(pf_local), "tile"
+                    )
+                    norm = pf_full / area
+                    dlt = robust_delta
+                    slope = jnp.where(
+                        norm <= dlt, 1.0,
+                        jnp.sqrt(dlt / jnp.maximum(norm, 1e-20)),
+                    )
+                    rho = jnp.where(
+                        norm <= dlt, norm, 2.0 * jnp.sqrt(norm * dlt) - dlt
+                    )
+                    obj = jnp.sum(pf_local * w * slope)
+                    true_local = jnp.sum(w * rho * area) / n_tile
+                else:
+                    obj = jnp.sum(pf_local * w)
+                    true_local = obj
+                return obj, true_local
+
+            def combine(true_local, g):
+                den = jax.lax.psum(jnp.sum(w), "data")
+                loss = jax.lax.psum(true_local, ("data", "tile")) / den
+                gsum = jax.lax.psum(g, ("data", "tile")) / den
+                return loss, gsum
+
+            def bin_state_of(d):
+                return renderer.bin_state(se3.exp(d), lp, Kb)
+
+            return opt_scan(
+                dof, opt_state, opt, loss_of, bin_state_of, n, eff_rebin,
+                combine=combine,
+            )
+
+        return run
+
+    opt_state = jax.jit(opt.init)(dof)
+    losses, history = [], []
+    done = 0
+    run_full = chunk_fn(min(chunk, num_steps))
+    for_last = None
+    while done < num_steps:
+        n = min(chunk, num_steps - done)
+        if n == min(chunk, num_steps):
+            fn = run_full
+        else:
+            for_last = for_last or chunk_fn(n)
+            fn = for_last
+        dof, opt_state, l, h = fn(dof, opt_state, lp, Kj, masks_bands, wj)
+        losses.append(l)
+        history.append(h)
+        done += n
+    return dof, jnp.concatenate(losses), jnp.concatenate(history)

@@ -78,11 +78,11 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx):
+def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx,
+                      big_k=0):
     F = valid.shape[-1]
     n_ty, n_tx = _cdiv(H, th), _cdiv(W, tw)
     K = n_ty * n_tx
-    R = ry * rx
     SENT = K  # histogram column for unused entries
 
     # ---- tile rectangles --------------------------------------------------
@@ -96,20 +96,77 @@ def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx):
     span_x = tx1 - tx0 + 1
     rect_over = jnp.any(use & ((span_y > ry) | (span_x > rx)))
 
-    # keys [F, R]: rect enumerated row-major; unused entries -> SENT
-    iy = jnp.arange(ry, dtype=jnp.int32).reshape(1, ry, 1)
-    ix = jnp.arange(rx, dtype=jnp.int32).reshape(1, 1, rx)
-    ty = ty0[:, None, None] + iy
-    tx = tx0[:, None, None] + ix
-    inside = (
-        use[:, None, None]
-        & (iy < span_y[:, None, None])
-        & (ix < span_x[:, None, None])
-    )
-    keys = jnp.where(inside, ty * n_tx + tx, SENT).reshape(F * R)
+    if big_k <= 0:
+        # ---- dense enumeration: ry*rx rect slots for EVERY triangle -------
+        R = ry * rx
+        iy = jnp.arange(ry, dtype=jnp.int32).reshape(1, ry, 1)
+        ix = jnp.arange(rx, dtype=jnp.int32).reshape(1, 1, rx)
+        ty = ty0[:, None, None] + iy
+        tx = tx0[:, None, None] + ix
+        inside = (
+            use[:, None, None]
+            & (iy < span_y[:, None, None])
+            & (ix < span_x[:, None, None])
+        )
+        keys = jnp.where(inside, ty * n_tx + tx, SENT).reshape(F * R)
+        fid = jax.lax.broadcasted_iota(jnp.int32, (F, R), 0).reshape(F * R)
+        R_out, by = R, 0
+        big_ids = None
+    else:
+        # ---- span-classed enumeration -------------------------------------
+        # Small (margin-dilated) bboxes span at most 2 tile rows × 1 tile
+        # column — the overwhelming majority at production tile sizes. Only
+        # those few triangles whose rect exceeds that get the full ry×rx
+        # window, compacted into `big_k` slots first. This cuts the counting
+        # sort + inversion-scatter entry count from F·ry·rx to
+        # ~2F + big_k·ry·rx (≈4x at bench scale, where the int32 scatter is
+        # the dominant rebin cost).
+        from .tiled import _topk_compact
+
+        big_k = min(big_k, F)
+        by = min(2, ry)
+        need_big = use & ((span_y > by) | (span_x > 1))
+        big_over = jnp.sum(need_big) > big_k
+        big_ids, _, _ = _topk_compact(need_big[None, :], big_k, F)
+        big_ids = big_ids[0]  # [big_k] int32, sentinel F for empty slots
+
+        # base entries: by slots (rows ty0..ty0+by-1, column tx0)
+        iyb = jnp.arange(by, dtype=jnp.int32).reshape(1, by)
+        tyb = ty0[:, None] + iyb
+        inside_b = (
+            use[:, None] & ~need_big[:, None] & (iyb < span_y[:, None])
+        )
+        keys_b = jnp.where(inside_b, tyb * n_tx + tx0[:, None], SENT)
+
+        # big entries: full ry×rx window, gathered through padded tables
+        def padg(a, v):
+            return jnp.concatenate(
+                [a, jnp.full((1,), v, a.dtype)]
+            )[big_ids]
+
+        ty0g, tx0g = padg(ty0, 0), padg(tx0, 0)
+        syg, sxg = padg(span_y, 0), padg(span_x, 0)
+        iy = jnp.arange(ry, dtype=jnp.int32).reshape(1, ry, 1)
+        ix = jnp.arange(rx, dtype=jnp.int32).reshape(1, 1, rx)
+        tyg = ty0g[:, None, None] + iy
+        txg = tx0g[:, None, None] + ix
+        inside_g = (iy < syg[:, None, None]) & (ix < sxg[:, None, None])
+        keys_g = jnp.where(inside_g, tyg * n_tx + txg, SENT)
+
+        keys = jnp.concatenate(
+            [keys_b.reshape(F * by), keys_g.reshape(big_k * ry * rx)]
+        )
+        fid = jnp.concatenate([
+            jax.lax.broadcasted_iota(jnp.int32, (F, by), 0).reshape(F * by),
+            jnp.broadcast_to(
+                big_ids[:, None], (big_k, ry * rx)
+            ).reshape(big_k * ry * rx),
+        ])
+        rect_over = rect_over | big_over
+        R_out = by + ry * rx
 
     # ---- counting sort ----------------------------------------------------
-    N = F * R
+    N = keys.shape[0]
     C = _cdiv(N, 128)
     Np = C * 128
     keys_c = jnp.pad(keys, (0, Np - N), constant_values=SENT).reshape(C, 128)
@@ -146,7 +203,6 @@ def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx):
     q = jnp.where(ok, keys * cap + slot, K * cap).astype(jnp.int32)
 
     # ---- invert into per-tile lists (int scatter, unique, no gradient) ----
-    fid = jax.lax.broadcasted_iota(jnp.int32, (F, R), 0).reshape(N)
     idx = (
         jnp.full((K * cap,), F, jnp.int32)
         .at[q]
@@ -155,22 +211,41 @@ def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx):
     )
     counts = jnp.minimum(totals[:K], cap).astype(jnp.int32)
     overflow = rect_over | jnp.any(totals[:K] > cap)
-    return BinState(idx=idx, counts=counts, q=q.reshape(F, R), overflow=overflow)
+
+    # ---- per-triangle transpose map [F, R_out] ----------------------------
+    if big_ids is None:
+        q_full = q.reshape(F, R_out)
+    else:
+        q_b = q[: F * by].reshape(F, by)
+        q_g = q[F * by:].reshape(big_k, ry * rx)
+        q_ext = (
+            jnp.full((F + 1, ry * rx), K * cap, jnp.int32)
+            .at[big_ids]
+            .set(q_g, mode="drop")
+        )[:F]
+        q_full = jnp.concatenate([q_b, q_ext], axis=1)
+    return BinState(idx=idx, counts=counts, q=q_full, overflow=overflow)
 
 
 @partial(
-    jax.jit, static_argnames=("H", "W", "tile_h", "tile_w", "cap", "ry", "rx")
+    jax.jit,
+    static_argnames=("H", "W", "tile_h", "tile_w", "cap", "ry", "rx", "big_k"),
 )
 def bin_count(
     lox, loy, hix, hiy, valid,
     *, H: int, W: int, tile_h: int, tile_w: int, cap: int,
-    ry: int = 4, rx: int = 2,
+    ry: int = 4, rx: int = 2, big_k: int = 0,
 ) -> BinState:
     """Bin (margin-dilated) triangle bboxes [..., F] into tiles. Any number
-    of leading batch axes; see BinState."""
+    of leading batch axes; see BinState.
+
+    big_k > 0 enables span-classed enumeration: small bboxes (≤ 2 tile rows
+    × 1 column) get 2 entries, only up to big_k larger triangles get the
+    full ry×rx window — ~4x fewer counting-sort/scatter entries at
+    production scale. q then has R = 2 + ry*rx columns."""
     fn = partial(
         _bin_count_single, H=H, W=W, th=tile_h, tw=tile_w,
-        cap=cap, ry=ry, rx=rx,
+        cap=cap, ry=ry, rx=rx, big_k=big_k,
     )
     for _ in valid.shape[:-1]:
         fn = jax.vmap(fn)
@@ -287,7 +362,7 @@ def fields_and_bins(soa, H, W, cfg, margin: float | None = None):
     state = bin_count(
         lox - m, loy - m, hix + m, hiy + m, soa.valid,
         H=H, W=W, tile_h=cfg.tile_h, tile_w=cfg.tile_w, cap=cfg.capacity,
-        ry=ry, rx=rx,
+        ry=ry, rx=rx, big_k=getattr(cfg, "bin_big_k", 0),
     )
     return fields, state
 

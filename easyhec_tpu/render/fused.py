@@ -28,11 +28,23 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import camera
-from ..ops.pose_raster import POSE_RECORD, pose_tile_silhouette
+from ..ops.pose_raster import (
+    POSE_RECORD,
+    pose_tile_loss,
+    pose_tile_silhouette,
+    tile_image,
+)
 from .binning import BinState, bin_count
 from .projection import setup_triangles_corners
 
-__all__ = ["FusedState", "build_fused_state", "silhouette_fused", "cam_rows"]
+__all__ = [
+    "FusedState",
+    "build_fused_state",
+    "silhouette_fused",
+    "loss_fused",
+    "cam_rows",
+    "tile_image",
+]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -144,7 +156,7 @@ def build_fused_state(
     state: BinState = bin_count(
         lox - m, loy - m, hix + m, hiy + m, tris.valid,
         H=H, W=W, tile_h=cfg.tile_h, tile_w=cfg.tile_w, cap=cfg.capacity,
-        ry=ry, rx=rx,
+        ry=ry, rx=rx, big_k=getattr(cfg, "bin_big_k", 0),
     )
 
     # Base-frame corner fields; w row = valid (0 disables the slot via the
@@ -210,3 +222,47 @@ def silhouette_fused(
     )
     img = _untile(tiles, H, W, cfg)
     return img.reshape(batch + (H, W))
+
+
+def loss_fused(
+    renderer,
+    Tc_c2b: jax.Array,
+    link_poses: jax.Array,
+    K: jax.Array,
+    masks_ref: jax.Array | None = None,
+    sharpness: float = 1.0,
+    state: FusedState | None = None,
+    ref_tiles: jax.Array | None = None,
+) -> jax.Array:
+    """Per-frame mask loss Σ_pixels (silhouette − ref)² via the fused loss
+    kernel (ops.pose_raster.pose_tile_loss): the silhouette image never
+    leaves the kernel, and the backward chains analytically to the pose.
+
+    Pass either masks_ref [..., H, W] (tiled here — fine for one-shot calls)
+    or pre-tiled ref_tiles [..., n_tiles, th, tw] (tile_image; hoist the
+    tiling out of optimizer scans). -> per-frame loss [...] matching the
+    link_poses batch.
+    """
+    cfg = renderer.tile
+    H, W = renderer.H, renderer.W
+    batch = link_poses.shape[:-3]
+    B = 1
+    for s in batch:
+        B *= s
+    if state is None:
+        state = build_fused_state(renderer, Tc_c2b, link_poses, K)
+    cam = cam_rows(Tc_c2b, K, B)
+    n_tx = _cdiv(W, cfg.tile_w)
+    if ref_tiles is None:
+        if masks_ref is None:
+            raise ValueError("need masks_ref or ref_tiles")
+        ref_tiles = tile_image(
+            masks_ref.reshape((-1, H, W)), cfg.tile_h, cfg.tile_w
+        )
+    else:
+        ref_tiles = ref_tiles.reshape((B,) + ref_tiles.shape[-3:])
+    loss_b = pose_tile_loss(
+        cam, state.rec, state.counts, ref_tiles, cfg.tile_h, cfg.tile_w,
+        n_tx, H, W, sharpness, camera.NEAR_DEFAULT, camera.FAR_DEFAULT,
+    )
+    return loss_b.reshape(batch)

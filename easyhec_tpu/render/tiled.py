@@ -55,6 +55,10 @@ class TileConfig(NamedTuple):
     #                      internal-edge contributions cancel pairwise in
     #                      pose space, so this is exact to roundoff while
     #                      letting interior/background tiles skip backward
+    bin_big_k: int = 0  # count binner: span-classed enumeration — small
+    #                      bboxes get 2 entries, up to bin_big_k large ones
+    #                      get the full rect window (see binning.bin_count);
+    #                      0 = dense ry*rx enumeration for every triangle
 
 
 def _cdiv(a: int, b: int) -> int:

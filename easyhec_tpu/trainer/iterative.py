@@ -24,7 +24,6 @@ from ..data.dataset import save_calib_frame
 from ..models.calib import CalibResult, calibrate, pose_metrics
 from ..models.explorer import SpaceExplorer, build_link_spheres
 from ..io.interfaces import Camera, MaskSource, RobotArm
-from ..io.planner import plan_to_qpos
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricsWriter, setup_logger
 from .offline import Runtime, build_runtime, _init_dof
@@ -63,23 +62,52 @@ def run_iterative(
         mask_source = mask_source or RendererMaskSource()
 
     spheres = None
+    workspace_pts = None
     if cfg.explorer.self_collision_check:
         from ..robot import load_link_meshes, parse_urdf
 
         model = parse_urdf(cfg.model.urdf_path)
         mesh_map = load_link_meshes(model, link_names=rt.link_names)
         spheres = build_link_spheres(chain, mesh_map)
+        if cfg.explorer.use_workspace_boundary:
+            # Env obstacle cloud for the planner (reference feeds the lab
+            # workspace boundary to planner.add_point_cloud,
+            # space_explorer.py:97-98).
+            from ..io.workspace import workspace_boundary_points
 
-    explorer = SpaceExplorer(
-        chain,
-        rt.renderer,
-        rt.link_names,
-        spheres=spheres,
-        n_sample_qposes=cfg.explorer.n_sample_qposes,
-        n_hypotheses=cfg.explorer.n_hypotheses,
-        history_start=cfg.explorer.history_start,
-        max_dist=cfg.explorer.max_dist if cfg.explorer.max_dist_constraint else None,
-    )
+            workspace_pts = workspace_boundary_points(
+                table_z=cfg.explorer.workspace_table_z
+            )
+
+    def make_explorer(rt):
+        # Variance scoring at 1/ds resolution (cfg.explorer.render_downscale):
+        # the argmax over candidates is scale-stable and the scoring pass
+        # gets ds^2 cheaper (reference scores at full res, its #2 hot loop —
+        # SURVEY.md §3.3).
+        ds = max(1, cfg.explorer.render_downscale)
+        if ds > 1 and rt.meshes:
+            from ..render.renderer import RobotRenderer
+
+            er = RobotRenderer(
+                rt.meshes, rt.renderer.H // ds, rt.renderer.W // ds,
+                tile=rt.renderer.tile,
+            )
+        else:
+            ds = 1
+            er = rt.renderer
+        return SpaceExplorer(
+            chain,
+            er,
+            rt.link_names,
+            spheres=spheres,
+            n_sample_qposes=cfg.explorer.n_sample_qposes,
+            n_hypotheses=cfg.explorer.n_hypotheses,
+            history_start=cfg.explorer.history_start,
+            max_dist=cfg.explorer.max_dist
+            if cfg.explorer.max_dist_constraint else None,
+        ), ds
+
+    explorer, explore_ds = make_explorer(rt)
 
     from ..utils.scene3d import Scene3D
 
@@ -99,6 +127,26 @@ def run_iterative(
         t0 = time.time()
         q = arm.get_qpos()
         rgb, K_live = camera.capture()
+        # Adapt render geometry to the live frame (the reference defrosts
+        # cfg and overwrites H/W/K from the first capture,
+        # rbsolve_iter.py:230-234). A silent mismatch would corrupt the
+        # loss — rebuild the renderer at the captured resolution instead.
+        cap_h, cap_w = rgb.shape[:2]
+        if (cap_h, cap_w) != (rt.renderer.H, rt.renderer.W):
+            if masks:
+                raise RuntimeError(
+                    f"camera resolution changed mid-run: captured "
+                    f"{cap_h}x{cap_w}, dataset is "
+                    f"{masks[0].shape[0]}x{masks[0].shape[1]}"
+                )
+            logger.warning(
+                "captured frame %dx%d != configured %dx%d; rebuilding "
+                "renderer at the live resolution",
+                cap_h, cap_w, rt.renderer.H, rt.renderer.W,
+            )
+            cfg.model.H, cfg.model.W = int(cap_h), int(cap_w)
+            rt = build_runtime(cfg)
+            explorer, explore_ds = make_explorer(rt)
         mask = mask_source.predict(rgb)
         save_calib_frame(data_dir, it, rgb, mask, q)
         masks.append(mask)
@@ -162,9 +210,15 @@ def run_iterative(
         last = it == cfg.solver.explore_iters - 1
         if last:
             target = np.zeros(chain.n_dof, np.float32)  # reference to_zero mode
+            plan_candidates = [target]
         else:
-            res = explorer.explore(result.history, K_live, key=it)
-            target = res.qpos
+            if explore_ds > 1:
+                from ..models.calib import downscale_K
+
+                K_explore = downscale_K(np.asarray(K_live), explore_ds)
+            else:
+                K_explore = K_live
+            res = explorer.explore(result.history, K_explore, key=it)
             logger.info(
                 "explore %d: variance %.2f, %d/%d feasible",
                 it,
@@ -172,6 +226,18 @@ def run_iterative(
                 int(res.feasible.sum()),
                 len(res.feasible),
             )
+            # Plan-feasibility gate (reference space_explorer.py:123-137
+            # scores only candidates it can plan to; planning the top-k by
+            # variance until one succeeds preserves that contract at a
+            # fraction of the planning cost).
+            order = np.argsort(-res.var_all)
+            top = [
+                res.qpos_all[i]
+                for i in order[: max(1, cfg.explorer.plan_top_k)]
+                if np.isfinite(res.var_all[i])
+            ]
+            target = res.qpos
+            plan_candidates = top or [res.qpos]
         if cfg.dbg:
             viz.set_scene_id(it)
             viz.add_image(rgb, name="capture")
@@ -186,13 +252,27 @@ def run_iterative(
             viz.add_robot(chain, rt.renderer, link_idx_np, np.eye(4), target,
                           name="robot_proposed")
 
-        plan = None
-        if spheres is not None:
-            plan = plan_to_qpos(chain, spheres, q, target, seed=it)
-            if plan.get("status") != "Success":
-                logger.warning("plan to next qpos failed; commanding direct move")
-                plan = None
-        arm.move_to(target, plan)
+        if spheres is None:
+            # Planning disabled by config (e.g. pure-sim smoke runs):
+            # direct joint move, the caller opted out of collision safety.
+            arm.move_to(target, None)
+        else:
+            # Plan-or-skip (reference behavior: an unplannable pose is never
+            # commanded — rbsolve_iter.py only drives along planner output).
+            from ..io.planner import plan_first_feasible
+
+            env_pts = workspace_pts if cfg.explorer.use_workspace_boundary else None
+            chosen, plan = plan_first_feasible(
+                chain, spheres, q, plan_candidates, env_points=env_pts, seed=it
+            )
+            if chosen is not None:
+                target = chosen
+                arm.move_to(target, plan)
+            else:
+                logger.warning(
+                    "no plannable candidate among top %d; staying at current "
+                    "qpos this round", len(plan_candidates),
+                )
 
     np.savetxt(out / "Tc_c2b.txt", result.Tc_c2b)
     (out / "metrics.json").write_text(json.dumps(result.metrics, indent=2))

@@ -34,6 +34,7 @@ class Runtime:
     renderer: RobotRenderer
     link_names: list[str]
     cfg: Config
+    meshes: list = dataclasses.field(default_factory=list)  # processed link meshes
 
 
 def build_runtime(cfg: Config) -> Runtime:
@@ -80,11 +81,15 @@ def build_runtime(cfg: Config) -> Runtime:
         margin=cfg.render.margin,
         cull_backfaces=cfg.render.cull_backfaces,
         fused=cfg.render.fused,
+        bin_big_k=cfg.render.bin_big_k,
     )
     renderer = RobotRenderer(
         meshes, cfg.model.H, cfg.model.W, tile=tile, mode=cfg.render.mode
     )
-    return Runtime(chain=chain, renderer=renderer, link_names=link_names, cfg=cfg)
+    return Runtime(
+        chain=chain, renderer=renderer, link_names=link_names, cfg=cfg,
+        meshes=meshes,
+    )
 
 
 def _warn_if_bins_overflow(rt: Runtime, batch: CalibBatch, init_dof) -> None:
@@ -178,6 +183,42 @@ def run_offline_calibration(
 
     _warn_if_bins_overflow(rt, batch, init_dof)
 
+    # Resume (reference cfg.solver.load='latest' convention,
+    # base.py:420-440): restore the mid-run state saved by the step hook.
+    ckpt_dir = out / "checkpoints"
+    resume_state = None
+    if cfg.solver.load == "latest":
+        from ..utils.checkpoint import load_checkpoint
+
+        mid = ckpt_dir / "midrun.npz"
+        if mid.exists():
+            resume_state, meta = load_checkpoint(mid)
+            logger.info(
+                "resuming from %s at step %d", mid, int(resume_state["step"])
+            )
+
+    mid_writer = MetricsWriter(out, tensorboard=False)
+
+    def step_hook(done, state):
+        # Periodic resumable checkpoint (reference try_to_save cadence,
+        # base.py:442-455) ...
+        if cfg.solver.save_freq and (
+            done % cfg.solver.save_freq == 0 or done >= cfg.solver.num_epochs
+        ):
+            save_checkpoint(ckpt_dir / "midrun", state, meta={"step": done})
+        # ... and mid-run image observability (reference pushes rendered/
+        # ref/error grids to TB every 100-200 steps, rbsolver.py:58-65).
+        if cfg.solver.log_interval and done % cfg.solver.log_interval == 0:
+            try:
+                outs = render_outputs(
+                    state["dof"], rt.renderer, batch.link_poses[:1],
+                    batch.K, batch.masks[:1],
+                )
+                mid_writer.image(done, "error_map", outs["error_maps"][0])
+                mid_writer.image(done, "rendered", outs["rendered_masks"][0])
+            except Exception as e:  # pragma: no cover
+                logger.debug("mid-run panel skipped: %s", e)
+
     t0 = time.time()
     result = calibrate(
         init_dof,
@@ -194,7 +235,10 @@ def run_offline_calibration(
         robust_delta=cfg.solver.robust_delta,
         rebin_every=cfg.solver.rebin_every,
         Tc_c2b_gt=batch.Tc_c2b_gt if batch.has_gt else None,
+        resume_state=resume_state,
+        step_hook=step_hook,
     )
+    mid_writer.close()
     dt = time.time() - t0
     logger.info(
         "calibrated %d steps in %.1fs (%.1f steps/s); final loss %.4f",

@@ -61,15 +61,35 @@ class MetricsWriter:
                 self._tb.add_scalar(k, float(v), int(step))
 
     def image(self, step: int, tag: str, img) -> None:
-        if self._tb is not None:
-            import numpy as np
+        """Record an image panel: always as a PNG under images/ (the
+        mid-run observability the reference gets from TB image grids,
+        trainer/rbsolver.py:58-65), plus TensorBoard when enabled."""
+        import numpy as np
 
-            arr = np.asarray(img)
-            if arr.ndim == 2:
-                arr = arr[None]
-            elif arr.ndim == 3 and arr.shape[-1] in (1, 3):
-                arr = arr.transpose(2, 0, 1)
-            self._tb.add_image(tag, arr, int(step))
+        arr = np.asarray(img)
+        png_dir = self.dir / "images"
+        png_dir.mkdir(exist_ok=True)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            a2 = arr if arr.ndim in (2, 3) else arr.reshape(arr.shape[-2:])
+            plt.imsave(
+                png_dir / f"{tag}_{int(step):06d}.png",
+                np.clip(a2, 0, 1) if a2.dtype != np.uint8 else a2,
+                cmap="viridis" if a2.ndim == 2 else None,
+            )
+        except Exception:  # pragma: no cover - best-effort observability
+            pass
+        if self._tb is not None:
+            tb_arr = arr
+            if tb_arr.ndim == 2:
+                tb_arr = tb_arr[None]
+            elif tb_arr.ndim == 3 and tb_arr.shape[-1] in (1, 3):
+                tb_arr = tb_arr.transpose(2, 0, 1)
+            self._tb.add_image(tag, tb_arr, int(step))
 
     def close(self) -> None:
         self._f.close()

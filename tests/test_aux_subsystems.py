@@ -23,8 +23,12 @@ def test_box_surface_points_on_faces():
 
 def test_workspace_boundary_composition():
     pts = workspace_boundary_points(n_box=500, n_table=200, table_z=-0.01)
-    assert pts.shape == (700, 3)
-    assert np.isclose(pts[500:, 2], -0.01).all()  # table samples at z
+    # table points within base_clear_radius of the robot base are dropped
+    # (reference keeps norm > 0.1, workspace_boundary.py:19-20)
+    assert 650 <= pts.shape[0] <= 700
+    table = pts[500:]
+    assert np.isclose(table[:, 2], -0.01).all()  # table samples at z
+    assert (np.linalg.norm(table[:, :2], axis=1) > 0.2).all()
 
 
 def test_table_points_plane():

@@ -90,6 +90,7 @@ class TestSyntheticPipeline:
         np.testing.assert_allclose(batch.masks, (data["masks"] > 0.5), atol=1e-6)
         np.testing.assert_allclose(batch.qpos, data["qpos"], atol=1e-5)
 
+    @pytest.mark.slow
     def test_offline_calibration_recovers_gt(self, rig):
         urdf, chain, renderer, link_names, tmp = rig
         Tc = default_camera(distance=1.0, azimuth_deg=30, height=0.6, target=(0, 0, 0.3))

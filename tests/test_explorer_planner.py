@@ -104,6 +104,35 @@ class TestPlanner:
         model = CollisionModel(chain, spheres, env_points=grid.astype(np.float32))
         assert model.in_collision(np.zeros(chain.n_dof))
 
+    def test_obstacle_forces_second_choice(self, rig):
+        # Plan-gating contract: when the top candidate is blocked by an env
+        # obstacle, plan_first_feasible falls through to the next plannable
+        # candidate — and returns (None, None) when all are blocked, which
+        # run_iterative turns into a SKIP (never an unplanned move).
+        from easyhec_tpu.io.planner import plan_first_feasible
+
+        _, chain, _, _, _, spheres, _ = rig
+        q0 = np.zeros(chain.n_dof, np.float32)
+        blocked = np.asarray([1.2, 0.0], np.float32)[: chain.n_dof]
+        free = np.asarray([-0.5, -0.3], np.float32)[: chain.n_dof]
+        # cloud of obstacle points around the BLOCKED goal's end-effector
+        # only (earlier link origins barely move with q — points there
+        # would block every configuration)
+        ee = chain.fk_np(blocked)[-1, :3, 3]
+        wall = (
+            ee + np.random.default_rng(0).normal(0, 0.02, (80, 3))
+        ).astype(np.float32)
+        chosen, plan = plan_first_feasible(
+            chain, spheres, q0, [blocked, free], env_points=wall, seed=0
+        )
+        assert chosen is not None and plan["status"] == "Success"
+        np.testing.assert_allclose(chosen, free)
+        # all candidates blocked -> no move
+        chosen2, plan2 = plan_first_feasible(
+            chain, spheres, q0, [blocked], env_points=wall, seed=0
+        )
+        assert chosen2 is None and plan2 is None
+
     def test_time_param_trapezoid(self):
         path = [np.zeros(2), np.array([1.0, 0.0])]
         plan = time_parameterize(path, v_max=0.5, a_max=1.0, dt=0.01)
@@ -114,6 +143,7 @@ class TestPlanner:
 
 
 class TestIterativeSimLoop:
+    @pytest.mark.slow
     def test_closed_loop_recovers_pose(self, rig, tmp_path):
         urdf, chain, renderer, link_names, _, _, _ = rig
         cfg = Config()
@@ -146,6 +176,106 @@ class TestIterativeSimLoop:
         assert (caps / "K.txt").exists()
         # Round checkpoints exist
         assert (tmp_path / "run" / "checkpoints" / "round_002.npz").exists()
+
+
+class TestLiveGeometryAdaptation:
+    @pytest.mark.slow
+    def test_renderer_rebuilt_to_captured_resolution(self, rig, tmp_path):
+        # Camera captures at a resolution DIFFERENT from cfg.model.H/W: the
+        # trainer must rebuild the renderer at the live resolution instead
+        # of silently corrupting the loss (reference defrost behavior,
+        # rbsolve_iter.py:230-234).
+        import jax.numpy as jnp
+
+        from easyhec_tpu.io.interfaces import RendererMaskSource, SimArm, SimCamera
+        from easyhec_tpu.render import RobotRenderer, TileConfig
+        from easyhec_tpu.robot import load_link_meshes, parse_urdf
+        from easyhec_tpu.robot import build_chain
+        from easyhec_tpu.trainer import run_iterative
+
+        urdf, chain, renderer, link_names, _, _, _ = rig
+        cfg = Config()
+        cfg.model.urdf_path = str(urdf)
+        cfg.model.use_links = link_names
+        cfg.model.H, cfg.model.W = 32, 48  # WRONG vs the live camera
+        cfg.render.tile_h, cfg.render.tile_w, cfg.render.capacity = 16, 32, 64
+        cfg.solver.num_epochs = 80
+        cfg.solver.explore_iters = 2
+        cfg.explorer.n_sample_qposes = 8
+        cfg.explorer.n_hypotheses = 2
+        cfg.explorer.history_start = 20
+        cfg.explorer.self_collision_check = False
+        cfg.dataset.data_dir = str(tmp_path / "captures")
+        cfg.output_dir = str(tmp_path / "run")
+
+        Tc = default_camera(distance=1.0, azimuth_deg=30, height=0.6,
+                            target=(0, 0, 0.3))
+        init = np.asarray(se3.log(jnp.asarray(Tc))) + 0.01
+        cfg.model.init_Tc_c2b = np.asarray(se3.exp(jnp.asarray(init))).tolist()
+
+        # Live camera at the RIG resolution (48x64), not cfg's 32x48
+        model = parse_urdf(urdf)
+        meshes = load_link_meshes(model, link_names=link_names)
+        live = RobotRenderer(
+            [meshes[n] for n in link_names], H, W, tile=TileConfig(16, 32, 64)
+        )
+        arm = SimArm(chain.n_dof)
+        camera = SimCamera(live, chain, link_names, Tc, K, arm)
+        result = run_iterative(
+            cfg, arm=arm, camera=camera, mask_source=RendererMaskSource(),
+            Tc_c2b_gt=Tc, K=K,
+        )
+        # converged on the ADAPTED resolution
+        assert result.metrics["err_trans_geodesic_cm"] < 2.0
+
+    def test_midrun_resolution_change_raises(self, rig, tmp_path):
+        from easyhec_tpu.io.interfaces import RendererMaskSource, SimArm, SimCamera
+        from easyhec_tpu.render import RobotRenderer, TileConfig
+        from easyhec_tpu.robot import load_link_meshes, parse_urdf
+        from easyhec_tpu.trainer import run_iterative
+
+        urdf, chain, renderer, link_names, _, _, _ = rig
+        cfg = Config()
+        cfg.model.urdf_path = str(urdf)
+        cfg.model.use_links = link_names
+        cfg.model.H, cfg.model.W = H, W
+        cfg.render.tile_h, cfg.render.tile_w, cfg.render.capacity = 16, 32, 64
+        cfg.solver.num_epochs = 40
+        cfg.solver.explore_iters = 2
+        cfg.explorer.n_sample_qposes = 8
+        cfg.explorer.n_hypotheses = 2
+        cfg.explorer.history_start = 10
+        cfg.explorer.self_collision_check = False
+        cfg.dataset.data_dir = str(tmp_path / "captures")
+        cfg.output_dir = str(tmp_path / "run")
+
+        Tc = default_camera(distance=1.0, azimuth_deg=30, height=0.6,
+                            target=(0, 0, 0.3))
+        cfg.model.init_Tc_c2b = np.asarray(Tc).tolist()
+
+        model = parse_urdf(urdf)
+        meshes = load_link_meshes(model, link_names=link_names)
+        live = RobotRenderer(
+            [meshes[n] for n in link_names], H, W, tile=TileConfig(16, 32, 64)
+        )
+        arm = SimArm(chain.n_dof)
+
+        class ShrinkingCamera(SimCamera):
+            calls = 0
+
+            def capture(self):
+                rgb, Kc = super().capture()
+                type(self).calls += 1
+                if type(self).calls > 1:
+                    rgb = rgb[: H // 2]  # resolution changes mid-run
+                return rgb, Kc
+
+        camera = ShrinkingCamera(live, chain, link_names, Tc, K, arm)
+        with pytest.raises(RuntimeError, match="resolution changed mid-run"):
+            run_iterative(
+                cfg, arm=arm, camera=camera,
+                mask_source=RendererMaskSource(), Tc_c2b_gt=Tc, K=K,
+            )
 
 
 class TestNativePlanner:

@@ -90,6 +90,49 @@ class TestFusedForward:
         np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+class TestCapacityPadding:
+    @pytest.mark.slow
+    def test_non_chunk_multiple_capacity(self):
+        # capacity=64 is not a CHUNK(128) multiple: exercises the reshape/
+        # pad/reshape path in pose_tile_silhouette. (48 would overflow this
+        # scene's densest bin — 58 triangles.) Forward and pose grad must
+        # equal the unfused reference path.
+        cfg = CFG._replace(capacity=64)
+        Tc, lp, K = _poses()
+        rf = _renderer(cfg)
+        rc = _renderer(CFG_REF)
+        a = np.asarray(rf.silhouette(Tc, lp, K))
+        b = np.asarray(rc.silhouette(Tc, lp, K))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+        target = jnp.asarray(b)
+        xi0 = se3.log(Tc) + jnp.asarray(
+            [0.004, -0.003, 0.002, 0.003, -0.002, 0.004]
+        )
+
+        def loss(r):
+            return lambda x: jnp.mean(
+                jnp.sum((r.silhouette(se3.exp(x), lp, K) - target) ** 2,
+                        axis=(-2, -1))
+            )
+
+        vf, gf = jax.value_and_grad(loss(rf))(xi0)
+        vr, gr = jax.value_and_grad(loss(rc))(xi0)
+        np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        scale = np.abs(gr).max()
+        np.testing.assert_allclose(gf, gr, atol=2e-3 * scale, rtol=2e-3)
+
+    def test_bad_record_shape_raises(self):
+        from easyhec_tpu.ops.pose_raster import pose_tile_silhouette
+
+        cam = jnp.zeros((1, 16))
+        counts = jnp.zeros((1, 8), jnp.int32)
+        rec = jnp.zeros((1, 12, 4))  # 4 slots < 8 tiles -> cap would be 0
+        with pytest.raises(ValueError, match="positive multiple"):
+            pose_tile_silhouette(cam, rec, counts, 8, 32, 2)
+
+
 class TestFusedGradient:
     def _loss_pair(self, cull=False):
         Tc, lp, K = _poses()
@@ -122,6 +165,7 @@ class TestFusedGradient:
         scale = np.abs(gr).max()
         np.testing.assert_allclose(gf, gr, atol=2e-3 * scale, rtol=2e-3)
 
+    @pytest.mark.slow
     def test_grad_vs_finite_differences(self):
         # FD of a piecewise-linear soft rasterizer is noisy near clip/arm
         # kinks (measured: the validated unfused path shows the SAME
@@ -184,6 +228,83 @@ class TestBandOnlyBackward:
         assert res.losses[-1] < 0.1 * res.losses[0]
         assert res.metrics["err_trans_geodesic_cm"] < 1.5
         assert res.metrics["err_rot_geodesic_deg"] < 1.0
+
+
+class TestFusedLossKernel:
+    """pose_tile_loss: the loss+gradient fused kernel must match the
+    unfused silhouette-then-loss pipeline exactly (value and pose grad)."""
+
+    @pytest.mark.parametrize("hw", [(64, 64), (50, 70)])
+    def test_loss_and_grad_match_unfused(self, hw):
+        from easyhec_tpu.models.calib import mask_loss
+
+        H, W = hw
+        Tc, lp, K = _poses()
+        rf = _renderer(CFG, H=H, W=W)
+        rc = _renderer(CFG_REF, H=H, W=W)
+        target = jnp.asarray(np.asarray(rc.silhouette(Tc, lp, K)))
+        xi0 = se3.log(Tc) + jnp.asarray(
+            [0.004, -0.003, 0.002, 0.003, -0.002, 0.004]
+        )
+        lf = lambda x: mask_loss(x, rf, lp, K, target)
+        lr = lambda x: mask_loss(x, rc, lp, K, target)
+        vf, gf = jax.value_and_grad(lf)(xi0)
+        vr, gr = jax.value_and_grad(lr)(xi0)
+        np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        scale = np.abs(gr).max()
+        np.testing.assert_allclose(gf, gr, atol=2e-3 * scale, rtol=2e-3)
+
+    def test_robust_delta_matches(self):
+        from easyhec_tpu.models.calib import mask_loss
+
+        Tc, lp, K = _poses()
+        rf = _renderer(CFG)
+        rc = _renderer(CFG_REF)
+        target = jnp.asarray(np.asarray(rc.silhouette(Tc, lp, K)))
+        xi0 = se3.log(Tc) + jnp.asarray(
+            [0.01, -0.01, 0.01, 0.01, -0.01, 0.01]
+        )
+        for delta in (0.05, 0.3):
+            vf, gf = jax.value_and_grad(
+                lambda x: mask_loss(x, rf, lp, K, target, robust_delta=delta)
+            )(xi0)
+            vr, gr = jax.value_and_grad(
+                lambda x: mask_loss(x, rc, lp, K, target, robust_delta=delta)
+            )(xi0)
+            np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+            scale = np.abs(np.asarray(gr)).max()
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), atol=2e-3 * scale, rtol=2e-3
+            )
+
+    def test_pretiled_ref_matches(self):
+        from easyhec_tpu.models.calib import mask_loss, tile_masks
+
+        Tc, lp, K = _poses()
+        rf = _renderer(CFG)
+        target = jnp.asarray(np.asarray(rf.silhouette(Tc, lp, K)))
+        ref_tiles = tile_masks(target, rf)
+        assert ref_tiles is not None
+        xi0 = se3.log(Tc) + jnp.asarray(
+            [0.004, -0.003, 0.002, 0.003, -0.002, 0.004]
+        )
+        va = float(mask_loss(xi0, rf, lp, K, target))
+        vb = float(mask_loss(xi0, rf, lp, K, target, ref_tiles=ref_tiles))
+        np.testing.assert_allclose(va, vb, rtol=1e-6)
+
+    def test_state_reuse(self):
+        from easyhec_tpu.models.calib import mask_loss
+
+        Tc, lp, K = _poses()
+        rf = _renderer(CFG)
+        target = jnp.asarray(np.asarray(rf.silhouette(Tc, lp, K)))
+        state = rf.bin_state(Tc, lp, K)
+        xi0 = se3.log(Tc)
+        va = float(mask_loss(xi0, rf, lp, K, target, bin_state=state))
+        vb = float(mask_loss(xi0, rf, lp, K, target))
+        np.testing.assert_allclose(va, vb, rtol=1e-6)
+        assert va < 1e-6  # perfectly aligned
 
 
 class TestFusedCalibrate:

@@ -1,0 +1,105 @@
+"""True multi-PROCESS execution (the DCN/multi-host axis): 2 processes ×
+4 CPU devices each, one global 8-device mesh, gloo collectives.
+
+This is the capability the reference scaffolds with torch.distributed env
+rendezvous + DDP (tools/run_easyhec.py:41-50, trainer/base.py:342-372) and
+round 1 lacked entirely: both processes run the SAME sharded_calibrate
+SPMD program over a global mesh, and must agree with each other and with
+the single-process run.
+"""
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+WORKER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+sys.path.insert(0, {repo!r})
+from easyhec_tpu.parallel.distributed import init_distributed
+init_distributed(coordinator_address="localhost:" + port, num_processes=2,
+                 process_id=pid, cpu_collectives="gloo")
+import jax.numpy as jnp, numpy as np
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+import tempfile
+from __graft_entry__ import MINI_URDF
+from easyhec_tpu.geometry import se3
+from easyhec_tpu.parallel import make_mesh
+from easyhec_tpu.parallel.sharding import sharded_calibrate
+from easyhec_tpu.parallel.comm import all_gather_arrays, reduce_dict, sync
+from easyhec_tpu.render import RobotRenderer, TileConfig
+from easyhec_tpu.robot import build_chain, load_link_meshes, parse_urdf
+with tempfile.NamedTemporaryFile("w", suffix=".urdf", delete=False) as f:
+    f.write(MINI_URDF); path = f.name
+model = parse_urdf(path); chain = build_chain(model)
+links = ["base", "upper", "fore"]
+meshes = load_link_meshes(model, link_names=links)
+W, BAND_H, N_TILE = 64, 24, 2
+H = BAND_H * N_TILE
+cfg = TileConfig(8, 32, 64, binner="count", fused=True, margin=2.0)
+full = RobotRenderer([meshes[n] for n in links], H, W, tile=cfg)
+band = RobotRenderer([meshes[n] for n in links], BAND_H, W, tile=cfg)
+li = jnp.asarray([chain.link_index(n) for n in links])
+qposes = jnp.linspace(-0.5, 0.5, 4 * chain.n_dof).reshape(4, chain.n_dof)
+lp = jax.vmap(chain.fk)(qposes)[:, li]
+K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], np.float32)
+Tc = np.eye(4, dtype=np.float32); Tc[2, 3] = 1.2
+gt = np.asarray(se3.log(jnp.asarray(Tc)))
+target = np.asarray(full.silhouette(jnp.asarray(Tc), lp, jnp.asarray(K)))
+init = gt + np.asarray([0.02, -0.02, 0.02, 0.02, -0.01, 0.02], np.float32)
+mesh = make_mesh(4, N_TILE)
+dof, losses, hist = sharded_calibrate(
+    init, band, mesh, np.asarray(lp), K, target, num_steps=40, max_lr=3e-3,
+    rebin_every=8, chunk=20,
+)
+# host-side comm helpers across REAL processes
+g = all_gather_arrays(np.asarray([float(pid)]))
+assert g.shape[0] == 2 and g[0, 0] == 0.0 and g[1, 0] == 1.0
+red = reduce_dict({{"loss": float(np.asarray(losses)[-1])}})
+sync()
+np.savez(out, dof=np.asarray(dof), losses=np.asarray(losses),
+         red_loss=red["loss"], gathered=g)
+print("WORKER_OK", pid)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_calibrate(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER.format(repo=str(REPO)))
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    port = "29531"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), port,
+             str(tmp_path / f"out{i}.npz")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(REPO),
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-3000:]}"
+        assert f"WORKER_OK {i}" in outs[i]
+
+    r0 = np.load(tmp_path / "out0.npz")
+    r1 = np.load(tmp_path / "out1.npz")
+    # Both processes executed the same SPMD program -> identical results
+    np.testing.assert_array_equal(r0["dof"], r1["dof"])
+    np.testing.assert_array_equal(r0["losses"], r1["losses"])
+    assert float(r0["red_loss"]) == float(r1["red_loss"])
+    # And the optimization converged
+    losses = r0["losses"]
+    assert losses[-1] < 0.3 * losses[0], losses

@@ -43,6 +43,7 @@ def test_ransac_pnp_recovers_pose():
     assert ang < 0.5
 
 
+@pytest.mark.slow
 def test_global_search_init_finds_viewpoint(mini_rig):
     chain, renderer, link_idx = mini_rig
     q = jnp.asarray([0.4, -0.5])

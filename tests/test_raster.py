@@ -223,6 +223,7 @@ class TestProjectionPipeline:
         assert float(val2) < float(val)
 
 
+@pytest.mark.slow
 def test_saturation_early_out_dense_stack():
     """Deep depth stacks (acc >> 1) must not change values or gradients —
     guards the Pallas kernels' saturation early-out."""

@@ -35,6 +35,7 @@ def synth(tmp_path_factory):
 
 
 class TestSegmenter:
+    @pytest.mark.slow
     def test_train_and_predict(self, synth, tmp_path):
         params, loss = train_segmenter(
             synth["rgb"], (synth["masks"] > 0.5).astype(np.float32),

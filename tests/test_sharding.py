@@ -50,6 +50,7 @@ def _scene(chain, link_idx, B=4):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 class TestSharding:
     def test_sharded_silhouette_matches_single(self, rig):
         chain, full, band, link_idx = rig
@@ -127,6 +128,58 @@ class TestSharding:
             )
         )(dof)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=2e-3, atol=1e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestShardedProductionSettings:
+    """The sharded optimizer is the SAME machinery as single-chip
+    (models.calib.opt_scan): fused loss kernel + amortized rebin +
+    robust_delta + grad_clip must match the single-chip run step for step."""
+
+    def _fused_rigs(self, tmp_path):
+        urdf = tmp_path / "mini.urdf"
+        urdf.write_text(ARM_URDF)
+        model = parse_urdf(urdf)
+        chain = build_chain(model)
+        links = ["base", "upper", "fore"]
+        meshes = load_link_meshes(model, link_names=links)
+        cfg = TileConfig(16, 32, 64, binner="count", fused=True, margin=2.0)
+        full = RobotRenderer([meshes[n] for n in links], H, W, tile=cfg)
+        band = RobotRenderer([meshes[n] for n in links], BAND_H, W, tile=cfg)
+        link_idx = jnp.asarray([chain.link_index(n) for n in links])
+        return chain, full, band, link_idx
+
+    def test_matches_single_chip_run(self, tmp_path):
+        from easyhec_tpu.models.calib import calibrate
+
+        chain, full, band, link_idx = self._fused_rigs(tmp_path)
+        lp, Tc = _scene(chain, link_idx, B=4)
+        gt_dof = np.asarray(se3.log(jnp.asarray(Tc)))
+        target = np.asarray(full.silhouette(jnp.asarray(Tc), lp, jnp.asarray(K)))
+        init = gt_dof + np.asarray(
+            [0.01, -0.01, 0.01, 0.01, -0.005, 0.01], np.float32
+        )
+        kwargs = dict(
+            num_steps=60, max_lr=3e-3, robust_delta=0.2, grad_clip=1.0,
+            rebin_every=10,
+        )
+        ref = calibrate(
+            init, full, np.asarray(lp), K, target, **kwargs
+        )
+        mesh = make_mesh(4, N_TILE)
+        dof, losses, history = sharded_calibrate(
+            init, band, mesh, np.asarray(lp), K, target, chunk=25, **kwargs
+        )
+        # Same optimizer, same semantics: the loss traces track step for
+        # step until float-order noise (band-split summation) compounds
+        # chaotically near convergence; check exact early-trace parity plus
+        # final agreement.
+        np.testing.assert_allclose(
+            np.asarray(losses)[:15], ref.losses[:15], rtol=2e-3, atol=1e-3
+        )
+        assert float(losses[-1]) < 2.0 * max(float(ref.losses[-1]), 0.5)
+        np.testing.assert_allclose(np.asarray(dof), ref.dof, atol=5e-3)
+        assert history.shape == (60, 6)
 
 
 def test_comm_single_process_fallbacks():

@@ -74,6 +74,7 @@ class TestTiledVsBrute:
         _, ov2 = silhouette_tiled(tris_small, 48, 96, CFG, return_overflow=True)
         assert not bool(ov2)
 
+    @pytest.mark.slow
     def test_gradient_matches_brute(self):
         tris = random_scene(jax.random.PRNGKey(4), 20, 48, 96)
         target = jnp.zeros((48, 96))
@@ -90,6 +91,51 @@ class TestTiledVsBrute:
         gb = jax.grad(loss_tiled)(tris.uv)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-3)
         assert np.abs(np.asarray(ga)).max() > 0
+
+
+class TestSpanClassedBinning:
+    """bin_big_k > 0: span-classed enumeration must be exact vs dense."""
+
+    CFG_BIG = TileConfig(
+        tile_h=16, tile_w=32, capacity=64, binner="count", bin_big_k=64
+    )
+
+    def test_silhouette_matches_brute(self):
+        tris = random_scene(jax.random.PRNGKey(7), 50, 48, 96)
+        a = np.asarray(silhouette_bruteforce(tris, 48, 96))
+        b = np.asarray(silhouette_tiled(tris, 48, 96, self.CFG_BIG))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_gradient_matches_dense(self):
+        # The q transpose map (pack backward) must stay exact with the
+        # classed layout (base columns + scattered big-window columns).
+        tris = random_scene(jax.random.PRNGKey(8), 30, 48, 96)
+        target = jnp.zeros((48, 96))
+        dense = TileConfig(tile_h=16, tile_w=32, capacity=64, binner="count")
+
+        def loss(cfg):
+            def f(uv):
+                t = tris._replace(uv=uv)
+                return jnp.sum((silhouette_tiled(t, 48, 96, cfg) - target) ** 2)
+
+            return f
+
+        ga = jax.grad(loss(dense))(tris.uv)
+        gb = jax.grad(loss(self.CFG_BIG))(tris.uv)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
+        assert np.abs(np.asarray(ga)).max() > 0
+
+    def test_big_k_overflow_flag(self):
+        # More wide triangles than big_k slots -> overflow reported.
+        n = 12
+        base = jnp.asarray([[[2.0, 2], [90.0, 2], [45.0, 30.0]]])  # spans cols
+        uv = jnp.tile(base, (n, 1, 1)) + jnp.arange(n).reshape(n, 1, 1) * 0.5
+        tris = Triangles2D(
+            uv=uv, z=jnp.ones((n, 3)), valid=jnp.ones((n,), bool)
+        )
+        cfg = self.CFG_BIG._replace(bin_big_k=4, capacity=32)
+        _, ov = silhouette_tiled(tris, 48, 96, cfg, return_overflow=True)
+        assert bool(ov)
 
 
 class TestRobotRenderer:
@@ -153,6 +199,7 @@ class TestRobotRenderer:
         assert (np.abs(union - union_ref) < 0.51).all()
         assert (np.abs(union - union_ref) < 1e-5).mean() > 0.98
 
+    @pytest.mark.slow
     def test_pose_optimization_convergence(self):
         """End-to-end sanity: recover a pose offset with Adam (the reference's
         optimizer: Adam, constant lr 3e-3 — configs/xarm7/example.yaml:44)."""
