@@ -26,6 +26,11 @@ def main(argv=None) -> int:
         help="pose-dataset mode: N camera views on a ring, one fixed qpos "
         "(the reference's gen_data_for_pvnet + convert_pvnet_format role)",
     )
+    ap.add_argument(
+        "--split", type=float, default=0.0, metavar="FRAC",
+        help="after generation, split into train/ and val/ with FRAC of "
+        "frames in train (the reference's split_mask_training_data role)",
+    )
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args(argv)
 
@@ -72,6 +77,12 @@ def main(argv=None) -> int:
         f"wrote {args.n_frames} frames to {args.out} "
         f"({cfg.model.H}x{cfg.model.W}, mean coverage {cov:.3f})"
     )
+    if args.split > 0:
+        from ..data.synthetic import split_dataset
+
+        tr, va = split_dataset(args.out, train_fraction=args.split,
+                               seed=args.seed)
+        print(f"split: {len(tr)} train / {len(va)} val")
     return 0
 
 

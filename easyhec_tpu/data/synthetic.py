@@ -20,7 +20,7 @@ from ..render.renderer import RobotRenderer
 from ..robot import KinematicChain
 from .dataset import save_calib_dataset
 
-__all__ = ["sample_qposes", "generate_dataset"]
+__all__ = ["sample_qposes", "generate_dataset", "split_dataset"]
 
 
 def sample_qposes(
@@ -127,6 +127,48 @@ def generate_dataset(
         "rgb": rgb,
         "depth": np.asarray(depth),
     }
+
+
+def split_dataset(
+    src_dir: str | Path,
+    out_dir: str | Path | None = None,
+    train_fraction: float = 0.8,
+    seed: int = 0,
+) -> tuple[list[int], list[int]]:
+    """Split a generated dataset into train/ and val/ subsets by file copy.
+
+    Covers the reference's tools/simulate/split_mask_training_data.py:10-60
+    (80/20 split of mask-training captures). Frames are the per-frame files
+    in any of the known subdirs (color/mask/qpos/pose/depth); shared files
+    (K.txt, Tc_c2b.txt, qpos.txt, model.ply, diameter.txt) are duplicated
+    into both subsets. Returns (train_ids, val_ids).
+    """
+    import shutil
+
+    src = Path(src_dir)
+    out = Path(out_dir) if out_dir is not None else src
+    subdirs = [d for d in ("color", "mask", "qpos", "pose", "depth")
+               if (src / d).is_dir()]
+    if not subdirs:
+        raise FileNotFoundError(f"no per-frame subdirs under {src}")
+    stems = sorted(p.stem for p in (src / subdirs[0]).iterdir() if p.is_file())
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(stems))
+    n_train = int(round(len(stems) * train_fraction))
+    splits = {"train": sorted(perm[:n_train].tolist()),
+              "val": sorted(perm[n_train:].tolist())}
+    shared = [p for p in src.iterdir() if p.is_file()]
+    for name, ids in splits.items():
+        dst = out / name
+        for sub in subdirs:
+            (dst / sub).mkdir(parents=True, exist_ok=True)
+            files = {p.stem: p for p in (src / sub).iterdir() if p.is_file()}
+            for new_i, old_i in enumerate(ids):
+                p = files[stems[old_i]]
+                shutil.copy2(p, dst / sub / f"{new_i:06d}{p.suffix}")
+        for p in shared:
+            shutil.copy2(p, dst / p.name)
+    return splits["train"], splits["val"]
 
 
 def default_camera(

@@ -90,6 +90,25 @@ class TestSyntheticPipeline:
         np.testing.assert_allclose(batch.masks, (data["masks"] > 0.5), atol=1e-6)
         np.testing.assert_allclose(batch.qpos, data["qpos"], atol=1e-5)
 
+    def test_split_dataset(self, rig):
+        from easyhec_tpu.data.synthetic import split_dataset
+
+        urdf, chain, renderer, link_names, tmp = rig
+        Tc = default_camera(distance=1.0, azimuth_deg=30, height=0.6, target=(0, 0, 0.3))
+        out = tmp / "synth_split"
+        generate_dataset(out, chain, renderer, link_names, Tc, K, n_frames=5, seed=3)
+        tr, va = split_dataset(out, train_fraction=0.8, seed=0)
+        assert len(tr) == 4 and len(va) == 1
+        assert sorted(tr + va) == list(range(5))
+        # Both subsets load as self-contained datasets with GT + renumbered frames
+        for name, ids in (("train", tr), ("val", va)):
+            sub = load_calib_dataset(out / name, chain, link_names)
+            assert sub.n_frames == len(ids)
+            assert sub.has_gt
+            full = load_calib_dataset(out, chain, link_names)
+            np.testing.assert_allclose(sub.qpos, full.qpos[ids], atol=1e-6)
+            np.testing.assert_allclose(sub.masks, full.masks[ids], atol=1e-6)
+
     @pytest.mark.slow
     def test_offline_calibration_recovers_gt(self, rig):
         urdf, chain, renderer, link_names, tmp = rig
