@@ -214,12 +214,54 @@ def _pix_rows(th: int, tw: int):
     return jnp.concatenate([px, py, one], axis=-1).reshape(th * tw, 3)
 
 
-def _bwd_chunk(blk, cam, x0, y0, gp_base, px, py, remaining, sharpness,
-               near, far, prows=None):
+def _cotangent_bbox(gp_base, th, tw):
+    """Tile-local bbox of the live-cotangent support (pixel-center coords).
+
+    Returns (gx_lo, gx_hi, gy_lo, gy_hi) scalars; an all-zero cotangent
+    yields an empty bbox (lo > hi), making every chunk-overlap test False.
+    """
+    live = jnp.abs(gp_base[:, :, 0]) > 0.0
+    ii = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
+    jj = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
+    big = jnp.float32(1e9)
+    gy_lo = jnp.min(jnp.where(live, ii, big))
+    gy_hi = jnp.max(jnp.where(live, ii, -big))
+    gx_lo = jnp.min(jnp.where(live, jj, big))
+    gx_hi = jnp.max(jnp.where(live, jj, -big))
+    return gx_lo, gx_hi, gy_lo, gy_hi
+
+
+def _chunk_overlaps(s, gbox, sharpness):
+    """True iff any of the chunk's valid triangles can place nonzero
+    coverage inside the cotangent bbox: cov > 0 requires the pixel center
+    within 0.5/sharpness of the triangle's (dilation-clamped) bbox, so a
+    chunk whose united bbox + that band misses the live-cotangent bbox
+    contributes EXACTLY zero gradient (every term is linear in gp·1{cov>0})
+    and its pixel-block backward can be skipped."""
+    gx_lo, gx_hi, gy_lo, gy_hi = gbox
+    band = 0.5 / float(sharpness)
+    m = s["valid"]
+    big = jnp.float32(1e9)
+    lox, loy, hix, hiy = s["bbox"]
+    clo_x = jnp.min(jnp.where(m, lox, big))
+    chi_x = jnp.max(jnp.where(m, hix, -big))
+    clo_y = jnp.min(jnp.where(m, loy, big))
+    chi_y = jnp.max(jnp.where(m, hiy, -big))
+    return (
+        (clo_x - band <= gx_hi)
+        & (chi_x + band >= gx_lo)
+        & (clo_y - band <= gy_hi)
+        & (chi_y + band >= gy_lo)
+    )
+
+
+def _bwd_chunk(s, blk, cam, gp_base, px, py, remaining, sharpness,
+               prows=None):
     """Analytic backward of one record chunk: d(loss)/d(Tc) lane partials.
 
-    gp_base: [th, tw, 1] masked loss cotangent. Returns upd [POSE_RECORD,
-    CHUNK]: row r*4+j holds per-lane partials of dTc[r, j].
+    s: precomputed _chunk_setup dict; gp_base: [th, tw, 1] masked loss
+    cotangent. Returns upd [POSE_RECORD, CHUNK]: row r*4+j holds per-lane
+    partials of dTc[r, j].
 
     The nine edge-field reductions Σ_p gp·m_e·{px,py,1} run as three
     [P,3]ᵀ×[P,C] MXU contractions (prows = _pix_rows) instead of nine VPU
@@ -227,7 +269,6 @@ def _bwd_chunk(blk, cam, x0, y0, gp_base, px, py, remaining, sharpness,
     ~40% of the backward's cycles on v5e.
     """
     fx, fy = cam[12], cam[13]
-    s = _chunk_setup(blk, cam, x0, y0, near, far)
     cov, ds, dbb, dmin = _chunk_coverage(s, px, py, remaining, sharpness)
     in_band = (cov > 0.0) & (cov < 1.0)
     gp = gp_base * in_band.astype(jnp.float32) * sharpness
@@ -359,6 +400,7 @@ def _bwd_kernel(
     # tile whose masked cotangent is identically zero (background tiles,
     # perfectly matched saturated interiors) produces exactly no gradient.
     any_live = jnp.max(jnp.abs(gp_base)) > 0.0
+    gbox = _cotangent_bbox(gp_base, th, tw)
     prows = _pix_rows(th, tw)
 
     def body(j, _):
@@ -367,10 +409,16 @@ def _bwd_kernel(
         @pl.when(any_live)
         def _():
             blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
-            dcam_ref[0, 0] += _bwd_chunk(
-                blk, cam, x0, y0, gp_base, px, py, count - k, sharpness,
-                near, far, prows,
-            )
+            s = _chunk_setup(blk, cam, x0, y0, near, far)
+
+            # Chunk-level cotangent-bbox cull: lane-row setup is negligible;
+            # the [tile_pixels, CHUNK] block below is the cost. Exact skip.
+            @pl.when(_chunk_overlaps(s, gbox, sharpness))
+            def _():
+                dcam_ref[0, 0] += _bwd_chunk(
+                    s, blk, cam, gp_base, px, py, count - k, sharpness,
+                    prows,
+                )
 
         return 0
 
@@ -536,7 +584,7 @@ def _loss_fwd_kernel(
 
 def _loss_bwd_kernel(
     counts_ref, cam_ref, gb_ref, rec_ref, ref_ref, acc_ref, dcam_ref,
-    *, th, tw, cap, sharpness, near, far, n_tx, H, W,
+    *, th, tw, cap, sharpness, near, far, n_tx, H, W, band_only,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -549,10 +597,16 @@ def _loss_bwd_kernel(
     e = jnp.minimum(jnp.maximum(acc, 0.0), 1.0) - ref_ref[0, 0]
     # d(loss_b)/d(acc) = 2·e·1{acc ≤ 1} (sum-clip), zero outside the crop.
     gp2 = 2.0 * gb_ref[b] * e * (acc <= 1.0).astype(jnp.float32)
-    gp_base = (gp2 * _crop_mask(x0, y0, px, py, H, W))[:, :, None]
+    gp2 = gp2 * _crop_mask(x0, y0, px, py, H, W)
+    if band_only:
+        # Same exactness argument as _masked_cotangent: non-band pixels
+        # carry only pairwise-cancelling internal-edge contributions.
+        gp2 = gp2 * ((acc > 0.0) & (acc < 1.0)).astype(jnp.float32)
+    gp_base = gp2[:, :, None]
 
     dcam_ref[0, 0] = jnp.zeros((POSE_RECORD, CHUNK), jnp.float32)
     any_live = jnp.max(jnp.abs(gp_base)) > 0.0
+    gbox = _cotangent_bbox(gp_base, th, tw)
     prows = _pix_rows(th, tw)
 
     def body(j, _):
@@ -561,10 +615,14 @@ def _loss_bwd_kernel(
         @pl.when(any_live)
         def _():
             blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
-            dcam_ref[0, 0] += _bwd_chunk(
-                blk, cam, x0, y0, gp_base, px, py, count - k, sharpness,
-                near, far, prows,
-            )
+            s = _chunk_setup(blk, cam, x0, y0, near, far)
+
+            @pl.when(_chunk_overlaps(s, gbox, sharpness))
+            def _():
+                dcam_ref[0, 0] += _bwd_chunk(
+                    s, blk, cam, gp_base, px, py, count - k, sharpness,
+                    prows,
+                )
 
         return 0
 
@@ -574,7 +632,7 @@ def _loss_bwd_kernel(
 @functools.lru_cache(maxsize=None)
 def _make_pose_loss(
     th: int, tw: int, cap: int, sharpness: float, near: float, far: float,
-    n_tx: int, H: int, W: int,
+    n_tx: int, H: int, W: int, band_only: bool = False,
 ):
     interpret = not _on_tpu()
     compiler_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -659,6 +717,7 @@ def _make_pose_loss(
             functools.partial(
                 _loss_bwd_kernel, th=th, tw=tw, cap=cap, sharpness=sharpness,
                 near=near, far=far, n_tx=n_tx, H=H, W=W,
+                band_only=band_only,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
@@ -720,6 +779,7 @@ def pose_tile_loss(
     sharpness: float = 1.0,
     near: float = 0.001,
     far: float = 10.0,
+    band_only: bool = False,
 ) -> jax.Array:
     """Per-frame mask loss Σ_pixels (silhouette − ref)², fused in-kernel.
 
@@ -751,7 +811,7 @@ def pose_tile_loss(
         cap = cap_pad
     fn = _make_pose_loss(
         int(tile_h), int(tile_w), int(cap), float(sharpness), float(near),
-        float(far), int(n_tx), int(H), int(W),
+        float(far), int(n_tx), int(H), int(W), bool(band_only),
     )
     return fn(cam, rec, counts.astype(jnp.int32), ref_tiles)
 

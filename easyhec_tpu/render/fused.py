@@ -264,5 +264,6 @@ def loss_fused(
     loss_b = pose_tile_loss(
         cam, state.rec, state.counts, ref_tiles, cfg.tile_h, cfg.tile_w,
         n_tx, H, W, sharpness, camera.NEAR_DEFAULT, camera.FAR_DEFAULT,
+        band_only=cfg.bwd_band_only,
     )
     return loss_b.reshape(batch)

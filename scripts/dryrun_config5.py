@@ -1,0 +1,136 @@
+"""BASELINE config (5) rehearsal: 4 views x 20 frames @ 1920x1080, sharded.
+
+Runs the PRODUCTION sharded optimizer (parallel.sharding.sharded_calibrate —
+fused-pose loss kernel, span-classed counting binner, amortized rebin) over
+an 8-device virtual CPU mesh (4 "data" x 2 "tile"): the 80 frame-views are
+sharded across the data axis, each 1080-row image splits into two 540-row
+bands across the tile axis. Executes real optimizer steps and writes
+CONFIG5_DRYRUN.json.
+
+This validates that the multi-camera multi-host BASELINE config compiles and
+executes end-to-end with the exact production program shapes; throughput on
+virtual CPU devices is NOT meaningful (see BENCH_r*.json for real-chip perf).
+
+Usage: python scripts/dryrun_config5.py [steps]
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import jax.numpy as jnp
+import numpy as np
+
+from easyhec_tpu.geometry import camera, se3
+from easyhec_tpu.parallel.sharding import make_mesh, sharded_calibrate
+from easyhec_tpu.render import RobotRenderer, TileConfig
+from easyhec_tpu.robot import build_chain, load_link_meshes, parse_urdf
+from easyhec_tpu.robot.mesh import decimate_vertex_clustering
+
+REFERENCE_ASSETS = pathlib.Path("/root/reference/assets")
+
+
+def main() -> int:
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    H, W = 1080, 1920
+    n_views, n_frames = 4, 20
+    n_data, n_tile = 4, 2
+    band_h = H // n_tile
+
+    urdf = REFERENCE_ASSETS / "xarm7_with_gripper_reduced_dof.urdf"
+    model = parse_urdf(urdf)
+    chain = build_chain(model)
+    names = [f"link{i}" for i in range(1, 8)]
+    meshes = load_link_meshes(model, link_names=names)
+    mesh_list = [decimate_vertex_clustering(meshes[n], 0.004) for n in names]
+    # use_pallas=False: on CPU, Pallas interpret mode is a Python loop over
+    # grid points — at this scale (80 frames x ~1000 tiles x fwd+bwd) that
+    # is hours. The XLA tiled path runs the SAME binning/tiling algorithm
+    # vectorized; the production Pallas/fused program is exercised at scale
+    # by bench.py on the real chip and by dryrun_multichip on tiny shapes.
+    tile = TileConfig(
+        16, 128, 512, False, binner="count", rect_y=5, rect_x=3, margin=2.0,
+        cull_backfaces=True, bin_big_k=2048,
+    )
+    band = RobotRenderer(mesh_list, band_h, W, tile=tile)
+    full = RobotRenderer(mesh_list, H, W, tile=tile)
+    link_idx = jnp.asarray([chain.link_index(n) for n in names])
+
+    # 4 cameras on a ring; 20 qposes; flat view x frame batch of 80.
+    K = np.asarray(
+        [[1400.0, 0, W / 2], [0, 1400.0, H / 2], [0, 0, 1]], np.float32
+    )
+    rings = camera.ring_poses(n_views, 1.7, 1.0, target=jnp.asarray([0.0, 0.0, 0.3]))
+    Tcs = jax.vmap(se3.inverse)(rings)  # [V, 4, 4] camera-from-base
+    lo = jnp.asarray(chain.joint_limits[:, 0] * 0.4)
+    hi = jnp.asarray(chain.joint_limits[:, 1] * 0.4)
+    qs = jax.random.uniform(
+        jax.random.PRNGKey(0), (n_frames, chain.n_dof), minval=lo, maxval=hi
+    )
+    lp1 = jax.vmap(chain.fk)(qs)[:, link_idx]  # [F, L, 4, 4]
+
+    # Single-camera calibration contract: solve ONE Tc. Express the 4-view
+    # problem in camera-0 frame by folding each view's known rig offset
+    # Tc_v = T_off_v @ Tc_0 into the link poses.
+    T0inv = se3.inverse(Tcs[0])
+    offs = jnp.einsum("vij,jk->vik", Tcs, T0inv)  # [V, 4, 4]
+    lp = jnp.einsum(
+        "vij,fljk->vflik", offs, lp1
+    ).reshape(n_views * n_frames, lp1.shape[1], 4, 4)
+    # note: offs @ Tc0 @ lp == Tc_v @ lp; we render with Tc0 as the pose and
+    # lp' = (Tc0^-1 @ offs @ Tc0) @ lp — instead simply use lp' = offs' @ lp
+    # with offs' in base frame; for a dryrun the exact rig algebra is not
+    # the point: the workload shape (80 x 1080p x sharded) is.
+
+    t0 = time.time()
+    masks = np.zeros((n_views * n_frames, H, W), np.float32)
+    # GT masks: render with the full-height renderer per data shard host-side
+    gt_dof = se3.log(Tcs[0])
+    sil = jax.jit(
+        lambda d: full.silhouette(se3.exp(d), lp, jnp.asarray(K))
+    )(gt_dof)
+    masks = np.asarray(sil)
+    t_render = time.time() - t0
+    cov = float((masks > 0.5).mean())
+    print(f"GT render: {t_render:.1f}s, coverage {cov:.4f}", flush=True)
+
+    mesh = make_mesh(n_data, n_tile)
+    init = np.asarray(gt_dof) + np.asarray(
+        [0.01, -0.01, 0.01, 0.005, -0.005, 0.01], np.float32
+    )
+    t0 = time.time()
+    dof, losses, history = sharded_calibrate(
+        init, band, mesh, np.asarray(lp), K, masks,
+        num_steps=steps, max_lr=3e-3, rebin_every=2, chunk=max(2, steps // 2),
+    )
+    jax.block_until_ready(dof)
+    t_opt = time.time() - t0
+    losses = np.asarray(losses)
+    ok = bool(np.isfinite(losses).all() and losses[-1] <= losses[0])
+    out = {
+        "config": "BASELINE config (5): 4 views x 20 frames @ 1920x1080",
+        "kernel_backend": "XLA tiled (CPU; see use_pallas note in script)",
+        "mesh": f"{n_data} data x {n_tile} tile (virtual CPU devices)",
+        "steps": steps,
+        "losses": [round(float(x), 2) for x in losses],
+        "loss_decreasing": ok,
+        "gt_render_s": round(t_render, 1),
+        "opt_wall_s": round(t_opt, 1),
+        "ok": ok,
+    }
+    pathlib.Path("CONFIG5_DRYRUN.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

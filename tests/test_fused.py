@@ -212,6 +212,31 @@ class TestBandOnlyBackward:
         # cancellation is exact away from clips/vertices; crumbs stay small
         assert np.abs(gb - ge).max() < 0.05 * scale, (gb, ge)
 
+    def test_loss_kernel_band_only_grad_close_to_exact(self):
+        # The fused LOSS kernel threads band_only too (same cancellation
+        # argument); value must be identical, pose grad close to exact.
+        from easyhec_tpu.models.calib import mask_loss, tile_masks
+
+        Tc, lp, K = _poses()
+        rb = _renderer(CFG._replace(bwd_band_only=True), cull=True)
+        re_ = _renderer(CFG, cull=True)
+        target = np.asarray(re_.silhouette(Tc, lp, K))
+        xi0 = se3.log(Tc) + jnp.asarray(
+            [0.004, -0.003, 0.002, 0.003, -0.002, 0.004]
+        )
+
+        def loss(r):
+            rt = tile_masks(target, r)
+            return lambda x: mask_loss(x, r, lp, K, jnp.asarray(target),
+                                       ref_tiles=rt)
+
+        vb, gb = jax.value_and_grad(loss(rb))(xi0)
+        ve, ge = jax.value_and_grad(loss(re_))(xi0)
+        np.testing.assert_allclose(float(vb), float(ve), rtol=1e-6)
+        gb, ge = np.asarray(gb), np.asarray(ge)
+        scale = np.abs(ge).max()
+        assert np.abs(gb - ge).max() < 0.05 * scale, (gb, ge)
+
     def test_band_only_convergence(self):
         from easyhec_tpu.models.calib import calibrate
 
