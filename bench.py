@@ -3,16 +3,23 @@
 The driver runs this on real TPU hardware and records the JSON line.
 
 Workload = BASELINE.md config (2): xArm7-class arm, 10 joint poses,
-640x480, the REAL calibration optimizer loop — mask-loss forward + SE(3)
-pose gradient + Adam update per step (the reference does this as B x L
-serial nvdiffrast CUDA launches per step,
+640x480, the FULL 1000-step calibration optimizer loop — mask-loss
+forward + SE(3) pose gradient + Adam update per step, exactly the
+reference's documented convergence budget (docs/usage.md:41,
+configs/xarm7/example.yaml num_epochs: 1000; the reference runs this as
+B x L serial nvdiffrast CUDA launches per step,
 easyhec/modeling/models/rb_solve/rb_solver.py:60-67).
 
-Timing is honest for this machine's remote-TPU tunnel: block_until_ready
-can return before execution completes here, so the loop runs under ONE
-jitted lax.scan (sequential dependency through the pose, exactly like
-production calibrate()) and the clock stops only after a host readback of
-the final pose.
+Honesty notes:
+- The target masks are HARD thresholded (like real captures), so the
+  converged tail keeps ~half-pixel band mismatch everywhere and the
+  backward's zero-cotangent/band tile skips only engage where tiles
+  genuinely match — no self-consistent-target shortcut.
+- Timing is scan+readback: the remote-TPU tunnel's block_until_ready can
+  return early, so the loop runs as chunked lax.scans with the carry
+  resident on device and the clock stops on a host readback of the final
+  pose after ALL chunks (per-dispatch watchdogs preclude one 1000-step
+  program).
 
 vs_baseline: the reference publishes no number (BASELINE.md). The estimate
 used is the reference's practical fwd+bwd throughput implied by its
@@ -32,6 +39,9 @@ import numpy as np
 
 REFERENCE_ASSETS = pathlib.Path("/root/reference/assets")
 BASELINE_PIX_S = 34e6
+NUM_STEPS = 1000
+CHUNK = 100
+REBIN = 12
 
 
 def build_scene():
@@ -69,6 +79,7 @@ def build_scene():
         16, 128, 512, True, binner="count", rect_y=5, rect_x=2, margin=2.0,
         cull_backfaces=True,  # closed CAD meshes: exact, halves bin loads
         fused=True,
+        bwd_band_only=True,  # exact (tests/test_fused.py TestBandOnlyBackward)
         bin_big_k=2048,  # span-classed binning: ~4x cheaper rebin scatter
     )
     renderer = RobotRenderer(mesh_list, H, W, tile=tile)
@@ -97,21 +108,20 @@ def main() -> int:
     lp = jax.vmap(chain.fk)(qs)[:, link_idx]
 
     target = jax.jit(
-        lambda x: renderer.silhouette(se3.exp(x), lp, K)
+        lambda x: (renderer.silhouette(se3.exp(x), lp, K) > 0.5).astype(
+            jnp.float32
+        )
     )(xi)
     jax.block_until_ready(target)
     # Pre-tiled reference masks for the fused loss kernel (scan-invariant).
     ref_tiles = tile_masks(np.asarray(target), renderer)
 
-    REBIN = 12
-    N_OUTER = 4  # 48 optimizer steps per timed run
-    n_steps = REBIN * N_OUTER
-    opt = make_optimizer("adam", max_lr=3e-3, total_steps=n_steps, scheduler="constant")
+    opt = make_optimizer(
+        "adam", max_lr=3e-3, total_steps=NUM_STEPS, scheduler="constant"
+    )
 
     @jax.jit
-    def run(d0):
-        opt_state = opt.init(d0)
-
+    def run_chunk(dof, opt_state):
         def outer(carry, _):
             dof, opt_state = carry
             state = renderer.bin_state(se3.exp(dof), lp, K)
@@ -127,21 +137,36 @@ def main() -> int:
 
             return jax.lax.scan(step, (dof, opt_state), None, length=REBIN)
 
-        (dof, _), losses = jax.lax.scan(outer, (d0, opt_state), None, length=N_OUTER)
-        return dof, losses.reshape(-1)
+        (dof, opt_state), losses = jax.lax.scan(
+            outer, (dof, opt_state), None, length=CHUNK // REBIN + 1
+        )
+        # exactly CHUNK steps' losses reported; extra steps are free work
+        return dof, opt_state, losses.reshape(-1)
 
     d0 = xi + 0.01
-    dof, losses = run(d0)
-    np.asarray(dof)  # compile + warm
+    steps_per_chunk = (CHUNK // REBIN + 1) * REBIN
+    n_chunks = -(-NUM_STEPS // steps_per_chunk)
+
+    # warm/compile
+    dof, opt_state, _ = run_chunk(d0, opt.init(d0))
+    np.asarray(dof)
+
+    dof, opt_state = d0, opt.init(d0)
+    all_losses = []
     t0 = time.time()
-    dof, losses = run(d0)
+    for _ in range(n_chunks):
+        dof, opt_state, losses = run_chunk(dof, opt_state)
+        all_losses.append(losses)  # device arrays; no sync inside the loop
     dof = np.asarray(dof)  # readback = true completion
-    dt = (time.time() - t0) / n_steps
+    dt = time.time() - t0
+    n_steps = n_chunks * steps_per_chunk
 
-    losses = np.asarray(losses)
-    assert np.isfinite(dof).all() and losses[-1] < losses[0], "loop not converging"
+    losses = np.concatenate([np.asarray(l) for l in all_losses])
+    assert np.isfinite(dof).all() and losses[-1] < 0.2 * losses[0], (
+        "loop not converging", float(losses[0]), float(losses[-1]),
+    )
 
-    pix_per_s = B * H * W / dt
+    pix_per_s = n_steps * B * H * W / dt
     print(
         json.dumps(
             {

@@ -45,6 +45,11 @@ class RenderConfig:
     #                     records, in-kernel projection/setup, analytic
     #                     d(loss)/d(Tc) — gradients through the camera pose
     #                     only (the calibration contract)
+    bwd_band_only: bool = True  # backward gradients from silhouette-BAND
+    #                     pixels only (interior internal-edge pairs cancel in
+    #                     pose space — exact to roundoff, lets interior tiles
+    #                     skip their backward; tests/test_fused.py
+    #                     TestBandOnlyBackward)
     bin_big_k: int = 0  # span-classed binning (binning.bin_count): 0 = dense
     #                     enumeration; >0 = 2 entries per small triangle +
     #                     full window for up to bin_big_k large ones (~4x

@@ -221,8 +221,9 @@ def _cotangent_bbox(gp_base, th, tw):
     yields an empty bbox (lo > hi), making every chunk-overlap test False.
     """
     live = jnp.abs(gp_base[:, :, 0]) > 0.0
-    ii = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
-    jj = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
+    # int32 iota + cast: Mosaic rejects float iota on real TPU
+    ii = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
+    jj = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
     big = jnp.float32(1e9)
     gy_lo = jnp.min(jnp.where(live, ii, big))
     gy_hi = jnp.max(jnp.where(live, ii, -big))

@@ -81,6 +81,7 @@ def build_runtime(cfg: Config) -> Runtime:
         margin=cfg.render.margin,
         cull_backfaces=cfg.render.cull_backfaces,
         fused=cfg.render.fused,
+        bwd_band_only=cfg.render.bwd_band_only,
         bin_big_k=cfg.render.bin_big_k,
     )
     renderer = RobotRenderer(

@@ -40,7 +40,7 @@ REFERENCE_ASSETS = pathlib.Path("/root/reference/assets")
 
 
 def main() -> int:
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     H, W = 1080, 1920
     n_views, n_frames = 4, 20
     n_data, n_tile = 4, 2
@@ -52,24 +52,23 @@ def main() -> int:
     names = [f"link{i}" for i in range(1, 8)]
     meshes = load_link_meshes(model, link_names=names)
     mesh_list = [decimate_vertex_clustering(meshes[n], 0.004) for n in names]
-    # use_pallas=False: on CPU, Pallas interpret mode is a Python loop over
-    # grid points — at this scale (80 frames x ~1000 tiles x fwd+bwd) that
-    # is hours. The XLA tiled path runs the SAME binning/tiling algorithm
-    # vectorized; the production Pallas/fused program is exercised at scale
-    # by bench.py on the real chip and by dryrun_multichip on tiny shapes.
+    # PRODUCTION tile config (fused-pose Pallas kernels; interpret mode on
+    # CPU). The XLA fallback was tried and OOM-killed at this scale (the
+    # unfused differentiable path materializes per-triangle coverage
+    # intermediates); the fused kernel's interpret loop is slow but bounded,
+    # and the band split across 8 virtual devices runs concurrently.
     tile = TileConfig(
-        16, 128, 512, False, binner="count", rect_y=5, rect_x=3, margin=2.0,
-        cull_backfaces=True, bin_big_k=2048,
+        16, 128, 512, True, binner="count", rect_y=5, rect_x=3, margin=2.0,
+        cull_backfaces=True, fused=True, bwd_band_only=True, bin_big_k=2048,
     )
     band = RobotRenderer(mesh_list, band_h, W, tile=tile)
-    full = RobotRenderer(mesh_list, H, W, tile=tile)
     link_idx = jnp.asarray([chain.link_index(n) for n in names])
 
     # 4 cameras on a ring; 20 qposes; flat view x frame batch of 80.
     K = np.asarray(
         [[1400.0, 0, W / 2], [0, 1400.0, H / 2], [0, 0, 1]], np.float32
     )
-    rings = camera.ring_poses(n_views, 1.7, 1.0, target=jnp.asarray([0.0, 0.0, 0.3]))
+    rings = camera.ring_poses(n_views, 1.2, 0.8, target=jnp.asarray([0.0, 0.0, 0.3]))
     Tcs = jax.vmap(se3.inverse)(rings)  # [V, 4, 4] camera-from-base
     lo = jnp.asarray(chain.joint_limits[:, 0] * 0.4)
     hi = jnp.asarray(chain.joint_limits[:, 1] * 0.4)
@@ -92,25 +91,29 @@ def main() -> int:
     # the point: the workload shape (80 x 1080p x sharded) is.
 
     t0 = time.time()
-    masks = np.zeros((n_views * n_frames, H, W), np.float32)
-    # GT masks: render with the full-height renderer per data shard host-side
+    # GT masks via the SHARDED band renderer (8 virtual devices) — the
+    # unsharded full-height CPU render alone takes ~7 min.
+    from easyhec_tpu.parallel.sharding import sharded_silhouette
+
     gt_dof = se3.log(Tcs[0])
+    mesh0 = make_mesh(n_data, n_tile)
+    render = sharded_silhouette(band, mesh0, band_h)
     sil = jax.jit(
-        lambda d: full.silhouette(se3.exp(d), lp, jnp.asarray(K))
+        lambda d: render(se3.exp(d), lp, jnp.asarray(K))
     )(gt_dof)
     masks = np.asarray(sil)
     t_render = time.time() - t0
     cov = float((masks > 0.5).mean())
     print(f"GT render: {t_render:.1f}s, coverage {cov:.4f}", flush=True)
 
-    mesh = make_mesh(n_data, n_tile)
+    mesh = mesh0
     init = np.asarray(gt_dof) + np.asarray(
         [0.01, -0.01, 0.01, 0.005, -0.005, 0.01], np.float32
     )
     t0 = time.time()
     dof, losses, history = sharded_calibrate(
         init, band, mesh, np.asarray(lp), K, masks,
-        num_steps=steps, max_lr=3e-3, rebin_every=2, chunk=max(2, steps // 2),
+        num_steps=steps, max_lr=3e-3, rebin_every=steps, chunk=steps,
     )
     jax.block_until_ready(dof)
     t_opt = time.time() - t0
@@ -118,7 +121,7 @@ def main() -> int:
     ok = bool(np.isfinite(losses).all() and losses[-1] <= losses[0])
     out = {
         "config": "BASELINE config (5): 4 views x 20 frames @ 1920x1080",
-        "kernel_backend": "XLA tiled (CPU; see use_pallas note in script)",
+        "kernel_backend": "fused Pallas (interpret mode on CPU devices)",
         "mesh": f"{n_data} data x {n_tile} tile (virtual CPU devices)",
         "steps": steps,
         "losses": [round(float(x), 2) for x in losses],
