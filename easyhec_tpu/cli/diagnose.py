@@ -75,6 +75,11 @@ def main(argv=None) -> int:
                     help="N perturbed-init fits (basin check)")
     ap.add_argument("--robust", type=float, default=0.3,
                     help="robust_delta for the robust re-fit (0 disables)")
+    ap.add_argument("--repair", action="store_true",
+                    help="optimal mask<->qpos re-assignment (Hungarian on "
+                    "the cross-pair IoU matrix) + refit: if the re-paired "
+                    "fit's mIoU jumps, the dataset's pairing is proven "
+                    "scrambled (no rigid pose can explain it)")
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args(argv)
 
@@ -150,6 +155,23 @@ def main(argv=None) -> int:
     }
     print("cross-pair best match per mask:", best_j.tolist())
 
+    # ---- 3b. pairing repair ----------------------------------------------
+    if args.repair:
+        perm = _optimal_assignment(cross)
+        rep = _fit(rt, cfg, lp[perm], K, masks, base.dof, steps=steps)
+        sil_p = _renders(rt, rep.dof, lp[perm], K)
+        iou_p = [_iou(sil_p[i], masks[i]) for i in range(B)]
+        report["repair"] = {
+            "assignment_mask_to_qpos": perm.tolist(),
+            "n_reassigned": int((perm != np.arange(B)).sum()),
+            "loss_last": float(rep.losses[-1]),
+            "mean_iou": float(np.mean(iou_p)),
+            "per_frame_iou": [round(v, 4) for v in iou_p],
+            "dof": rep.dof.tolist(),
+        }
+        print(f"repair: assignment {perm.tolist()}, "
+              f"mIoU {np.mean(iou_p):.3f}")
+
     # ---- 4. leave-one-out consistency ------------------------------------
     if args.loo:
         loo = []
@@ -198,6 +220,35 @@ def main(argv=None) -> int:
     return 0
 
 
+def _optimal_assignment(cross: np.ndarray) -> np.ndarray:
+    """perm with perm[i] = qpos index assigned to mask i, maximizing total
+    IoU (Hungarian; greedy fallback if scipy is unavailable)."""
+    try:
+        from scipy.optimize import linear_sum_assignment
+
+        rows, cols = linear_sum_assignment(-cross)
+        perm = np.empty(cross.shape[0], np.int64)
+        perm[rows] = cols
+        return perm
+    except Exception:
+        B = cross.shape[0]
+        perm = np.full(B, -1, np.int64)
+        taken = set()
+        for _ in range(B):
+            best, bi, bj = -1.0, -1, -1
+            for i in range(B):
+                if perm[i] >= 0:
+                    continue
+                for j in range(B):
+                    if j in taken:
+                        continue
+                    if cross[i, j] > best:
+                        best, bi, bj = cross[i, j], i, j
+            perm[bi] = bj
+            taken.add(bj)
+        return perm
+
+
 def _write_markdown(path: Path, r: dict) -> None:
     lines = [
         "# Calibration dataset diagnostic report", "",
@@ -228,6 +279,18 @@ def _write_markdown(path: Path, r: dict) -> None:
         f"- best match per mask: {cp['best_match']}",
         f"- mismatched frames: **{cp['mismatched_frames']}**", "",
     ]
+    if "repair" in r:
+        rp = r["repair"]
+        lines += [
+            "## Pairing repair (optimal re-assignment + refit)",
+            f"- assignment mask->qpos: {rp['assignment_mask_to_qpos']}",
+            f"- frames reassigned: {rp['n_reassigned']}",
+            f"- mean IoU after repair: **{rp['mean_iou']:.3f}** "
+            f"(vs {r['baseline']['mean_iou']:.3f} as-shipped)",
+            "- per-frame IoU: " + ", ".join(
+                f"{i}:{v:.2f}" for i, v in enumerate(rp["per_frame_iou"])
+            ), "",
+        ]
     if "leave_one_out" in r:
         lines += ["## Leave-one-out consistency",
                   "| frame | held-out IoU | in-set mean IoU |",

@@ -135,6 +135,7 @@ def sharded_calibrate(
     grad_clip: float = 0.0,
     rebin_every: int = 1,
     chunk: int = 50,
+    frame_chunk: int = 0,
 ):
     """Multi-chip calibrate(): the SAME optimizer machinery as the
     single-chip path (models.calib.opt_scan — fused loss kernel, amortized
@@ -144,6 +145,14 @@ def sharded_calibrate(
     masks_ref: [B, H, W] with H = band_h * n_tile (`renderer` built with
     H = band_h). Returns (dof, losses, history) as in
     models.calib._calibrate_scan.
+
+    frame_chunk > 0 evaluates each device's local per-frame losses in
+    blocks of that many frames under jax.checkpoint (lax.map over blocks):
+    backward memory drops from O(local_frames) to O(frame_chunk) renders at
+    the cost of recomputing the forward per block — the rasterizer analog
+    of activation rematerialization for memory-bound configs (e.g. many
+    1080p frames per device on hosts with modest RAM). Exact for the
+    gradient. Disables bin-state reuse (bins are rebuilt per block).
     """
     from ..models.calib import (
         mask_loss_per_frame,
@@ -187,7 +196,9 @@ def sharded_calibrate(
         optimizer, max_lr=max_lr, total_steps=num_steps,
         scheduler=scheduler, grad_clip=grad_clip,
     )
-    eff_rebin = rebin_every if reuse_bins_ok(renderer) else 1
+    eff_rebin = (
+        rebin_every if reuse_bins_ok(renderer) and frame_chunk <= 0 else 1
+    )
 
     def chunk_fn(n):
         @jax.jit
@@ -215,11 +226,40 @@ def sharded_calibrate(
             # frames × band) and opt_scan's combine psums the gradient —
             # exact because the full loss is a sum of local terms with
             # stop-gradient robust weights (rho' = the Huber slope).
-            def loss_of(d, bin_state):
-                pf_local = mask_loss_per_frame(
-                    d, renderer, lp, Kb, m_local, sharpness,
-                    bin_state=bin_state, ref_tiles=ref_tiles,
+            def _pf(d, bin_state):
+                if frame_chunk <= 0:
+                    return mask_loss_per_frame(
+                        d, renderer, lp, Kb, m_local, sharpness,
+                        bin_state=bin_state, ref_tiles=ref_tiles,
+                    )
+                bl = lp.shape[0]
+                fc = min(frame_chunk, bl)
+                pad = (-bl) % fc
+                lp_p = jnp.concatenate(
+                    [lp, jnp.broadcast_to(lp[:1], (pad,) + lp.shape[1:])]
+                ) if pad else lp
+                m_p = jnp.concatenate(
+                    [m_local,
+                     jnp.zeros((pad,) + m_local.shape[1:], m_local.dtype)]
+                ) if pad else m_local
+
+                @jax.checkpoint
+                def block(args):
+                    lp_c, m_c = args
+                    return mask_loss_per_frame(
+                        d, renderer, lp_c, Kb, m_c, sharpness,
+                        bin_state=None, ref_tiles=None,
+                    )
+
+                pf = jax.lax.map(
+                    block,
+                    (lp_p.reshape((-1, fc) + lp.shape[1:]),
+                     m_p.reshape((-1, fc) + m_local.shape[1:])),
                 )
+                return pf.reshape(-1)[:bl]
+
+            def loss_of(d, bin_state):
+                pf_local = _pf(d, bin_state)
                 if robust_delta > 0:
                     pf_full = jax.lax.psum(
                         jax.lax.stop_gradient(pf_local), "tile"

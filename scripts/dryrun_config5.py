@@ -52,14 +52,17 @@ def main() -> int:
     names = [f"link{i}" for i in range(1, 8)]
     meshes = load_link_meshes(model, link_names=names)
     mesh_list = [decimate_vertex_clustering(meshes[n], 0.004) for n in names]
-    # PRODUCTION tile config (fused-pose Pallas kernels; interpret mode on
-    # CPU). The XLA fallback was tried and OOM-killed at this scale (the
-    # unfused differentiable path materializes per-triangle coverage
-    # intermediates); the fused kernel's interpret loop is slow but bounded,
-    # and the band split across 8 virtual devices runs concurrently.
+    # Kernel backend notes (CPU virtual devices; production program shapes
+    # are exercised on the real chip by bench.py and by dryrun_multichip):
+    # - Pallas interpret mode is a Python loop over ~40k grid programs per
+    #   pass — measured 71 min for ONE forward at this scale. Unusable.
+    # - The XLA tiled path is vectorized, but its unchunked backward
+    #   materializes per-triangle coverage intermediates for every local
+    #   frame at once — OOM-killed at 130 GB. frame_chunk=1 (remat over
+    #   frame blocks, parallel.sharding) bounds it to one frame's render.
     tile = TileConfig(
-        16, 128, 512, True, binner="count", rect_y=5, rect_x=3, margin=2.0,
-        cull_backfaces=True, fused=True, bwd_band_only=True, bin_big_k=2048,
+        16, 128, 512, False, binner="count", rect_y=5, rect_x=3, margin=2.0,
+        cull_backfaces=True, bin_big_k=2048,
     )
     band = RobotRenderer(mesh_list, band_h, W, tile=tile)
     link_idx = jnp.asarray([chain.link_index(n) for n in names])
@@ -113,7 +116,7 @@ def main() -> int:
     t0 = time.time()
     dof, losses, history = sharded_calibrate(
         init, band, mesh, np.asarray(lp), K, masks,
-        num_steps=steps, max_lr=3e-3, rebin_every=steps, chunk=steps,
+        num_steps=steps, max_lr=3e-3, chunk=steps, frame_chunk=1,
     )
     jax.block_until_ready(dof)
     t_opt = time.time() - t0
@@ -121,7 +124,7 @@ def main() -> int:
     ok = bool(np.isfinite(losses).all() and losses[-1] <= losses[0])
     out = {
         "config": "BASELINE config (5): 4 views x 20 frames @ 1920x1080",
-        "kernel_backend": "fused Pallas (interpret mode on CPU devices)",
+        "kernel_backend": "XLA tiled + frame_chunk=1 remat (CPU devices)",
         "mesh": f"{n_data} data x {n_tile} tile (virtual CPU devices)",
         "steps": steps,
         "losses": [round(float(x), 2) for x in losses],

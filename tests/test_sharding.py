@@ -182,6 +182,30 @@ class TestShardedProductionSettings:
         assert history.shape == (60, 6)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_frame_chunked_remat_matches(rig):
+    """frame_chunk > 0 (remat over frame blocks) is exact: same loss trace
+    and final pose as the unchunked sharded run."""
+    chain, full, band, link_idx = rig
+    lp, Tc = _scene(chain, link_idx, B=4)
+    target = np.asarray(full.silhouette(jnp.asarray(Tc), lp, jnp.asarray(K)))
+    init = np.asarray(se3.log(jnp.asarray(Tc))) + np.asarray(
+        [0.01, -0.01, 0.01, 0.01, -0.005, 0.01], np.float32
+    )
+    mesh = make_mesh(4, N_TILE)
+    kwargs = dict(num_steps=20, max_lr=3e-3, chunk=10)
+    dof0, losses0, _ = sharded_calibrate(
+        init, band, mesh, np.asarray(lp), K, target, **kwargs
+    )
+    dof2, losses2, _ = sharded_calibrate(
+        init, band, mesh, np.asarray(lp), K, target, frame_chunk=1, **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses2), np.asarray(losses0), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(dof2), np.asarray(dof0), atol=1e-5)
+
+
 def test_comm_single_process_fallbacks():
     import numpy as np
 
