@@ -75,12 +75,24 @@ def build_scene():
         mesh_list = [meshes[n] for n in names]
 
     H, W = 480, 640
+    # Capacity 1792 covers the TRUE max bin load of this scene (measured
+    # 1720 at 16x128 tiles; caps below that silently truncate dense tiles —
+    # r1/r2 ran cap 512 and dropped work in ~8% of occupied tiles). The
+    # occupancy-proportional chunk loops + saturation early-out keep large
+    # caps cheap; main() asserts the overflow flag stays False.
+    import os
+
+    th = int(os.environ.get("BENCH_TILE_H", "16"))
+    cap = int(os.environ.get("BENCH_CAP", "1792"))
+    big_k = int(os.environ.get("BENCH_BIG_K", "2048"))
+    rect_y = int(os.environ.get("BENCH_RECT_Y", {8: "9", 16: "5", 32: "3"}.get(th, "5")))
     tile = TileConfig(
-        16, 128, 512, True, binner="count", rect_y=5, rect_x=2, margin=2.0,
+        th, 128, cap, True, binner="count", rect_y=rect_y, rect_x=2,
+        margin=2.0,
         cull_backfaces=True,  # closed CAD meshes: exact, halves bin loads
         fused=True,
         bwd_band_only=True,  # exact (tests/test_fused.py TestBandOnlyBackward)
-        bin_big_k=2048,  # span-classed binning: ~4x cheaper rebin scatter
+        bin_big_k=big_k,  # span-classed binning: ~4x cheaper rebin scatter
     )
     renderer = RobotRenderer(mesh_list, H, W, tile=tile)
     link_idx = jnp.asarray([chain.link_index(n) for n in names])
@@ -107,6 +119,11 @@ def main() -> int:
     qs = jax.random.uniform(jax.random.PRNGKey(0), (B, chain.n_dof), minval=lo, maxval=hi)
     lp = jax.vmap(chain.fk)(qs)[:, link_idx]
 
+    st0 = jax.jit(lambda x: renderer.bin_state(se3.exp(x), lp, K))(xi)
+    assert not bool(np.asarray(jnp.any(st0.overflow))), (
+        "bin overflow: the bench would silently drop triangles — raise "
+        "BENCH_CAP / BENCH_RECT_Y"
+    )
     target = jax.jit(
         lambda x: (renderer.silhouette(se3.exp(x), lp, K) > 0.5).astype(
             jnp.float32

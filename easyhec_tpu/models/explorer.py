@@ -102,7 +102,7 @@ class SpaceExplorer:
         max_dist: float | None = 0.5,
         limit_fraction: float = 0.9,
         collision_margin: float = 0.0,
-        score_batch: int = 25,
+        score_batch: int = 5,  # measured optimum on v5e (scripts/tpu_session4)
     ):
         self.chain = chain
         self.renderer = renderer
