@@ -331,18 +331,65 @@ def _silhouette_tiled_single(tris: Triangles2D, H: int, W: int, cfg: TileConfig,
     def tile_cov(abc, bbox, valid):
         from .raster_core import bbox_distance
 
-        # Three [P,3]x[3,cap] evals (one per edge) — avoids a [P, cap, 3]
-        # intermediate that XLA would otherwise materialize and save for AD.
-        d0 = jnp.einsum("pk,ek->pe", pix, abc[:, 0, :], precision=_HI)
-        d1 = jnp.einsum("pk,ek->pe", pix, abc[:, 1, :], precision=_HI)
-        d2 = jnp.einsum("pk,ek->pe", pix, abc[:, 2, :], precision=_HI)
-        dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
-        dmin = jnp.minimum(dmin, bbox_distance(pix, bbox))
-        cov = jnp.clip(0.5 + sharpness * dmin, 0.0, 1.0)
-        cov = jnp.where(valid[None, :], cov, 0.0)
-        return jnp.clip(jnp.sum(cov, axis=-1), 0.0, 1.0)  # [P]
+        def dense(abc, bbox, valid):
+            # Three [P,3]x[3,cap] evals (one per edge) — avoids a [P, cap, 3]
+            # intermediate XLA would otherwise materialize and save for AD.
+            d0 = jnp.einsum("pk,ek->pe", pix, abc[:, 0, :], precision=_HI)
+            d1 = jnp.einsum("pk,ek->pe", pix, abc[:, 1, :], precision=_HI)
+            d2 = jnp.einsum("pk,ek->pe", pix, abc[:, 2, :], precision=_HI)
+            dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
+            dmin = jnp.minimum(dmin, bbox_distance(pix, bbox))
+            cov = jnp.clip(0.5 + sharpness * dmin, 0.0, 1.0)
+            cov = jnp.where(valid[None, :], cov, 0.0)
+            return jnp.sum(cov, axis=-1)  # [P] pre-clamp
 
-    tiles = jax.vmap(tile_cov)(abc_t, bbox_t, valid_t)  # [n_tiles, P]
+        cap = valid.shape[0]
+        if cap <= 256:
+            return jnp.clip(dense(abc, bbox, valid), 0.0, 1.0)
+        # Large caps: scan 128-record chunks, accumulating the pre-clamp
+        # coverage sum — bounds the [P, cap] temporaries to [P, 128]
+        # (production-scale caps on the XLA fallback OOM'd otherwise).
+        RC = 128
+        capp = -(-cap // RC) * RC
+        abc_p = jnp.pad(abc, ((0, capp - cap), (0, 0), (0, 0)))
+        bbox_p = jnp.pad(bbox, ((0, capp - cap), (0, 0)))
+        valid_p = jnp.pad(valid, (0, capp - cap))
+
+        def chunk(s, sl):
+            return s + dense(*sl), None
+
+        s, _ = jax.lax.scan(
+            chunk,
+            jnp.zeros((pix.shape[0],), jnp.float32),
+            (
+                abc_p.reshape(-1, RC, *abc.shape[1:]),
+                bbox_p.reshape(-1, RC, *bbox.shape[1:]),
+                valid_p.reshape(-1, RC),
+            ),
+        )
+        return jnp.clip(s, 0.0, 1.0)
+
+    nt = abc_t.shape[0]
+    if nt <= 64:
+        tiles = jax.vmap(tile_cov)(abc_t, bbox_t, valid_t)  # [n_tiles, P]
+    else:
+        # Block the tile axis too: peak temporaries [TB, P, RC] instead of
+        # [n_tiles, P, cap].
+        TB = 32
+        padt = (-nt) % TB
+
+        def padb(a):
+            return jnp.pad(a, ((0, padt),) + ((0, 0),) * (a.ndim - 1))
+
+        blocks = jax.lax.map(
+            lambda a: jax.vmap(tile_cov)(*a),
+            (
+                padb(abc_t).reshape(-1, TB, *abc_t.shape[1:]),
+                padb(bbox_t).reshape(-1, TB, *bbox_t.shape[1:]),
+                padb(valid_t).reshape(-1, TB, *valid_t.shape[1:]),
+            ),
+        )
+        tiles = blocks.reshape(-1, blocks.shape[-1])[:nt]
     img = (
         tiles.reshape(n_ty, n_tx, cfg.tile_h, cfg.tile_w)
         .transpose(0, 2, 1, 3)

@@ -99,12 +99,76 @@ def main():
 
         scan_time(bins_of, (xi,), label="setup + bin_count")
 
+        def bins_idx(c):
+            Tc = se3.exp(c[0])
+            Tcl = jnp.einsum("ij,bljk->blik", Tc, lp)
+            tris = setup_triangles_corners(
+                r.corners_rest, r.face_link_onehot, Tcl, K,
+                cull_backfaces=True,
+            )
+            lox = jnp.min(tris.u, axis=-2) - 2.0
+            hix = jnp.max(tris.u, axis=-2) + 2.0
+            loy = jnp.min(tris.v, axis=-2) - 2.0
+            hiy = jnp.max(tris.v, axis=-2) + 2.0
+            st = bin_count(lox, loy, hix, hiy, tris.valid, H=H, W=W,
+                           tile_h=16, tile_w=128, cap=cap, ry=5, rx=2,
+                           big_k=2048)
+            # consume idx: forces the bin-inversion scatter
+            return (c[0] + 0.0 * st.idx.reshape(-1)[0].astype(jnp.float32),)
+
+        scan_time(bins_idx, (xi,), label="setup + bin_count + idx scatter")
+
+        # gather with REAL idx, fixed across iterations (isolates the pack)
+        st_fixed = jax.jit(lambda x: r.bin_state(se3.exp(x), lp, K))(xi)
+        jax.block_until_ready(st_fixed.rec)
+        from easyhec_tpu.render.binning import bin_count as _bc  # noqa
+        stb = jax.jit(
+            lambda x: _bins_only(r, x, lp, K, cap)
+        )(xi)
+        jax.block_until_ready(stb.idx)
+
+        def pack_only(c):
+            from easyhec_tpu.render.fused import _base_corner_fields
+
+            rows = _base_corner_fields(r.corners_rest, r.face_link_onehot, lp)
+            vrow = jnp.ones((lp.shape[0], r.faces.shape[0]), jnp.float32)
+            fields = jnp.stack(
+                [vrow if x is None else x for x in rows], axis=1
+            ) * (1.0 + 0.0 * c[0][0])
+            fpad = jnp.concatenate(
+                [fields, jnp.zeros((lp.shape[0], 12, 1), fields.dtype)],
+                axis=-1,
+            )
+            fpad = jax.lax.optimization_barrier(fpad)
+            rec = jax.vmap(
+                lambda f, i: jnp.take(f, i.reshape(-1), axis=-1)
+            )(fpad, stb.idx)
+            return (c[0] + 0.0 * rec[0, 0],)
+
+        scan_time(pack_only, (xi,), label="fields + pack gather (fixed idx)")
+
         def full_state(c):
             st = r.bin_state(se3.exp(c[0]), lp, K)
             return (c[0] + 0.0 * st.rec[0, 0, 0],)
 
         scan_time(full_state, (xi,), label="full build_fused_state")
     return 0
+
+
+def _bins_only(r, x, lp, K, cap):
+    from easyhec_tpu.geometry import se3 as _se3
+
+    Tc = _se3.exp(x)
+    Tcl = jnp.einsum("ij,bljk->blik", Tc, lp)
+    tris = setup_triangles_corners(
+        r.corners_rest, r.face_link_onehot, Tcl, K, cull_backfaces=True
+    )
+    lox = jnp.min(tris.u, axis=-2) - 2.0
+    hix = jnp.max(tris.u, axis=-2) + 2.0
+    loy = jnp.min(tris.v, axis=-2) - 2.0
+    hiy = jnp.max(tris.v, axis=-2) + 2.0
+    return bin_count(lox, loy, hix, hiy, tris.valid, H=480, W=640,
+                     tile_h=16, tile_w=128, cap=cap, ry=5, rx=2, big_k=2048)
 
 
 if __name__ == "__main__":

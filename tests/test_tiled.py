@@ -45,6 +45,30 @@ class TestTiledVsBrute:
         assert b.shape == (3, 48, 96)
         np.testing.assert_allclose(a, b, atol=1e-4)
 
+    def test_xla_path_chunked_matches_brute(self):
+        # cap > 256 and n_tiles > 64 cross both memory-bounding branches of
+        # the XLA fallback (record-chunk scan + tile-block map); must equal
+        # the brute reference and its gradient must stay correct.
+        H, W = 144, 160  # 9x10 = 90 tiles at 16x16
+        cfg = TileConfig(tile_h=16, tile_w=16, capacity=512, use_pallas=False)
+        tris = random_scene(jax.random.PRNGKey(7), 300, H, W)
+        a = np.asarray(silhouette_bruteforce(tris, H, W))
+        b = np.asarray(silhouette_tiled(tris, H, W, cfg))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+        def loss(path):
+            def f(duv):
+                t = Triangles2D(uv=tris.uv + duv, z=tris.z, valid=tris.valid)
+                img = (silhouette_bruteforce(t, H, W) if path == "brute"
+                       else silhouette_tiled(t, H, W, cfg))
+                return jnp.sum(img * img)
+
+            return f
+
+        g_b = np.asarray(jax.grad(loss("brute"))(jnp.zeros(2)))
+        g_t = np.asarray(jax.grad(loss("tiled"))(jnp.zeros(2)))
+        np.testing.assert_allclose(g_b, g_t, rtol=1e-3, atol=1e-4)
+
     def test_depth_matches(self):
         tris = random_scene(jax.random.PRNGKey(2), 40, 48, 96)
         az, aid = depth_bruteforce(tris, 48, 96)
