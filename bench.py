@@ -20,6 +20,17 @@ Honesty notes:
   resident on device and the clock stops on a host readback of the final
   pose after ALL chunks (per-dispatch watchdogs preclude one 1000-step
   program).
+- Bin overflow is asserted over EVERY rebin of the run (the flag is
+  threaded out of the scans), not just the initial pose — a truncating
+  bin would silently drop work and inflate the number.
+
+Fault tolerance (the round-2 driver run died with rc=1 on a transient
+TPU FAILED_PRECONDITION before any JSON was emitted): the module now
+runs the measurement in a CHILD process. The parent never touches jax;
+it probes the backend with a tiny subprocess matmul, launches the child,
+and on failure retries within a wall-clock budget. If nothing succeeds
+it still emits ONE parseable JSON line with an "error" field and exits
+0, so the driver's record is never a bare traceback.
 
 vs_baseline: the reference publishes no number (BASELINE.md). The estimate
 used is the reference's practical fwd+bwd throughput implied by its
@@ -29,7 +40,9 @@ the recommended >=10 GB GPU ~= 34 Mpix/s); vs_baseline = value / 34e6.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
+import subprocess
 import sys
 import time
 
@@ -39,9 +52,12 @@ import numpy as np
 
 REFERENCE_ASSETS = pathlib.Path("/root/reference/assets")
 BASELINE_PIX_S = 34e6
-NUM_STEPS = 1000
+NUM_STEPS = int(os.environ.get("BENCH_STEPS", "1000"))
 CHUNK = 100
 REBIN = 12
+METRIC = "pixels_rasterized_per_s_per_chip_fwd_bwd"
+
+_CHILD_ENV = "EASYHEC_BENCH_CHILD"
 
 
 def build_scene():
@@ -79,9 +95,8 @@ def build_scene():
     # 1720 at 16x128 tiles; caps below that silently truncate dense tiles —
     # r1/r2 ran cap 512 and dropped work in ~8% of occupied tiles). The
     # occupancy-proportional chunk loops + saturation early-out keep large
-    # caps cheap; main() asserts the overflow flag stays False.
-    import os
-
+    # caps cheap; run_bench() asserts the overflow flag stays False at
+    # every rebin of the loop.
     th = int(os.environ.get("BENCH_TILE_H", "16"))
     cap = int(os.environ.get("BENCH_CAP", "1792"))
     big_k = int(os.environ.get("BENCH_BIG_K", "2048"))
@@ -99,7 +114,7 @@ def build_scene():
     return chain, renderer, link_idx, H, W
 
 
-def main() -> int:
+def run_bench() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -152,47 +167,151 @@ def main() -> int:
                 u, opt_state2 = opt.update(g, opt_state, dof)
                 return (dof + u, opt_state2), loss
 
-            return jax.lax.scan(step, (dof, opt_state), None, length=REBIN)
+            inner, losses = jax.lax.scan(step, (dof, opt_state), None, length=REBIN)
+            return inner, (losses, jnp.any(state.overflow))
 
-        (dof, opt_state), losses = jax.lax.scan(
+        (dof, opt_state), (losses, ovs) = jax.lax.scan(
             outer, (dof, opt_state), None, length=CHUNK // REBIN + 1
         )
-        # exactly CHUNK steps' losses reported; extra steps are free work
-        return dof, opt_state, losses.reshape(-1)
+        # ALL executed steps' losses are reported and counted:
+        # (CHUNK//REBIN+1)*REBIN steps per chunk, matching steps_per_chunk
+        # below — the accounting covers exactly the work done. The per-rebin
+        # overflow flags come out too so the caller can assert the bins
+        # never truncated anywhere in the trajectory.
+        return dof, opt_state, losses.reshape(-1), jnp.any(ovs)
 
     d0 = xi + 0.01
     steps_per_chunk = (CHUNK // REBIN + 1) * REBIN
     n_chunks = -(-NUM_STEPS // steps_per_chunk)
 
     # warm/compile
-    dof, opt_state, _ = run_chunk(d0, opt.init(d0))
+    dof, opt_state, _, ov = run_chunk(d0, opt.init(d0))
     np.asarray(dof)
 
     dof, opt_state = d0, opt.init(d0)
-    all_losses = []
+    all_losses, all_ov = [], [ov]
     t0 = time.time()
     for _ in range(n_chunks):
-        dof, opt_state, losses = run_chunk(dof, opt_state)
+        dof, opt_state, losses, ov = run_chunk(dof, opt_state)
         all_losses.append(losses)  # device arrays; no sync inside the loop
+        all_ov.append(ov)
     dof = np.asarray(dof)  # readback = true completion
     dt = time.time() - t0
     n_steps = n_chunks * steps_per_chunk
 
+    assert not any(bool(np.asarray(o)) for o in all_ov), (
+        "bin overflow during the optimization trajectory — raise BENCH_CAP"
+    )
     losses = np.concatenate([np.asarray(l) for l in all_losses])
     assert np.isfinite(dof).all() and losses[-1] < 0.2 * losses[0], (
         "loop not converging", float(losses[0]), float(losses[-1]),
     )
 
     pix_per_s = n_steps * B * H * W / dt
+    return {
+        "metric": METRIC,
+        "value": round(pix_per_s),
+        "unit": "pixels/s",
+        "vs_baseline": round(pix_per_s / BASELINE_PIX_S, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Fault-tolerant driver entry: probe -> child run -> bounded retry -> JSON.
+# ---------------------------------------------------------------------------
+
+
+def _probe_backend(timeout_s: float) -> tuple[bool, str]:
+    """Tiny matmul in a fresh process: is the backend dispatchable?"""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print(float((x @ x).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, "probe timeout (backend wedged)"
+    if r.returncode != 0:
+        return False, (r.stderr or "probe failed").strip()[-400:]
+    return True, ""
+
+
+def _run_child(timeout_s: float) -> tuple[dict | None, str]:
+    env = dict(os.environ, **{_CHILD_ENV: "1"})
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None, "bench child timeout"
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if d.get("metric") == METRIC and r.returncode == 0:
+            return d, ""
+        if "bench_error" in d:
+            return None, str(d["bench_error"])[:400]
+    return None, (r.stderr or "no JSON from child").strip()[-400:]
+
+
+def _child_main() -> int:
+    try:
+        print(json.dumps(run_bench()), flush=True)
+        return 0
+    except BaseException as e:  # noqa: BLE001 — must report, not traceback
+        print(json.dumps({"bench_error": repr(e)[:500]}), flush=True)
+        return 1
+
+
+def main() -> int:
+    if os.environ.get(_CHILD_ENV):
+        return _child_main()
+
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "1200"))
+    deadline = time.time() + budget
+    last_err = "no attempt made"
+    attempt = 0
+    while time.time() < deadline and attempt < 6:
+        ok, err = _probe_backend(timeout_s=120)
+        if not ok:
+            # Wedged relays on this box take minutes to clear; probe
+            # roughly once a minute until the budget runs out.
+            last_err = f"backend probe: {err}"
+            print(f"[bench] {last_err}; retrying", file=sys.stderr, flush=True)
+            time.sleep(min(60, max(1, deadline - time.time())))
+            continue
+        attempt += 1
+        result, err = _run_child(
+            timeout_s=min(child_timeout, max(60, deadline - time.time()))
+        )
+        if result is not None:
+            print(json.dumps(result), flush=True)
+            return 0
+        last_err = err
+        print(
+            f"[bench] attempt {attempt} failed: {err}; retrying",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(min(120, max(1, deadline - time.time())))
     print(
         json.dumps(
             {
-                "metric": "pixels_rasterized_per_s_per_chip_fwd_bwd",
-                "value": round(pix_per_s),
+                "metric": METRIC,
+                "value": 0,
                 "unit": "pixels/s",
-                "vs_baseline": round(pix_per_s / BASELINE_PIX_S, 3),
+                "vs_baseline": 0.0,
+                "error": last_err[:400],
             }
-        )
+        ),
+        flush=True,
     )
     return 0
 

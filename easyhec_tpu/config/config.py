@@ -49,7 +49,11 @@ class RenderConfig:
     #                     pixels only (interior internal-edge pairs cancel in
     #                     pose space — exact to roundoff, lets interior tiles
     #                     skip their backward; tests/test_fused.py
-    #                     TestBandOnlyBackward)
+    #                     TestBandOnlyBackward). Deliberately True here and
+    #                     False in the raw TileConfig: trainers get the
+    #                     production contract, the kernel layer keeps
+    #                     unmodified semantics for oracle tests (see
+    #                     render/tiled.py TileConfig.bwd_band_only)
     bin_big_k: int = 0  # span-classed binning (binning.bin_count): 0 = dense
     #                     enumeration; >0 = 2 entries per small triangle +
     #                     full window for up to bin_big_k large ones (~4x

@@ -139,9 +139,12 @@ def split_dataset(
 
     Covers the reference's tools/simulate/split_mask_training_data.py:10-60
     (80/20 split of mask-training captures). Frames are the per-frame files
-    in any of the known subdirs (color/mask/qpos/pose/depth); shared files
-    (K.txt, Tc_c2b.txt, qpos.txt, model.ply, diameter.txt) are duplicated
-    into both subsets. Returns (train_ids, val_ids).
+    in any of the known subdirs (color/mask/qpos/pose/depth); known
+    frame-independent top-level files (K.txt, Tc_c2b.txt, model.ply,
+    diameter.txt, meta/camera.json) are duplicated into both subsets;
+    unrecognized top-level files are skipped with a warning (they may be
+    frame-indexed and would go stale under renumbering). Returns
+    (train_ids, val_ids).
     """
     import shutil
 
@@ -157,7 +160,22 @@ def split_dataset(
     n_train = int(round(len(stems) * train_fraction))
     splits = {"train": sorted(perm[:n_train].tolist()),
               "val": sorted(perm[n_train:].tolist())}
-    shared = [p for p in src.iterdir() if p.is_file()]
+    # Only KNOWN frame-independent files are duplicated into both subsets; a
+    # frame-indexed top-level file (e.g. a monolithic qpos.txt) would become
+    # inconsistent with the renumbered per-frame files if copied verbatim.
+    _SHARED = {"K.txt", "Tc_c2b.txt", "model.ply", "diameter.txt",
+               "meta.json", "camera.json"}
+    shared = [p for p in src.iterdir() if p.is_file() and p.name in _SHARED]
+    skipped = [p.name for p in src.iterdir()
+               if p.is_file() and p.name not in _SHARED]
+    if skipped:
+        import warnings
+
+        warnings.warn(
+            f"split_dataset: not copying unrecognized top-level files "
+            f"{skipped} (add frame-independent ones to the whitelist)",
+            stacklevel=2,
+        )
     for name, ids in splits.items():
         dst = out / name
         for sub in subdirs:

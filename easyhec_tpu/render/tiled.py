@@ -54,7 +54,14 @@ class TileConfig(NamedTuple):
     #                      silhouette-band pixels (0 < acc < 1); interior
     #                      internal-edge contributions cancel pairwise in
     #                      pose space, so this is exact to roundoff while
-    #                      letting interior/background tiles skip backward
+    #                      letting interior/background tiles skip backward.
+    #                      Default False HERE (the raw kernel layer keeps
+    #                      full-pixel gradients so oracle/parity tests see
+    #                      unmodified semantics); the trainer-facing
+    #                      config.RenderConfig defaults it to True — the
+    #                      production calibration contract, where the
+    #                      cancellation argument holds and interior tiles
+    #                      skipping backward is the point.
     bin_big_k: int = 0  # count binner: span-classed enumeration — small
     #                      bboxes get 2 entries, up to bin_big_k large ones
     #                      get the full rect window (see binning.bin_count);
