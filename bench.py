@@ -101,6 +101,7 @@ def build_scene():
     cap = int(os.environ.get("BENCH_CAP", "1792"))
     big_k = int(os.environ.get("BENCH_BIG_K", "2048"))
     rect_y = int(os.environ.get("BENCH_RECT_Y", {8: "9", 16: "5", 32: "3"}.get(th, "5")))
+    compact = int(os.environ.get("BENCH_COMPACT", "0"))
     tile = TileConfig(
         th, 128, cap, True, binner="count", rect_y=rect_y, rect_x=2,
         margin=2.0,
@@ -108,6 +109,7 @@ def build_scene():
         fused=True,
         bwd_band_only=True,  # exact (tests/test_fused.py TestBandOnlyBackward)
         bin_big_k=big_k,  # span-classed binning: ~4x cheaper rebin scatter
+        compact_chunks=compact,  # >0: compact-chunk-grid loss path
     )
     renderer = RobotRenderer(mesh_list, H, W, tile=tile)
     link_idx = jnp.asarray([chain.link_index(n) for n in names])

@@ -58,6 +58,11 @@ class RenderConfig:
     #                     enumeration; >0 = 2 entries per small triangle +
     #                     full window for up to bin_big_k large ones (~4x
     #                     cheaper rebinning at production scale)
+    compact_chunks: int = 0  # >0: compact-chunk-grid loss path — records
+    #                     packed contiguously into this many 128-slot
+    #                     chunks; rebin gather + kernel grid scale with
+    #                     occupancy instead of n_tiles*capacity (see
+    #                     ops/pose_raster_compact.py). 0 = dense records
 
 
 @dataclass

@@ -94,9 +94,11 @@ def mask_loss_per_frame(
     """Per-frame Σ_pixels (rendered − ref)² [..B] (the building block of
     mask_loss; the sharded path reduces it across mesh axes itself)."""
     if _use_fused_loss(renderer):
-        from ..render.fused import FusedState, loss_fused
+        from ..render.fused import CompactState, FusedState, loss_fused
 
-        if bin_state is None or isinstance(bin_state, FusedState):
+        if bin_state is None or isinstance(
+            bin_state, (FusedState, CompactState)
+        ):
             return loss_fused(
                 renderer, se3.exp(dof), link_poses, K, masks_ref,
                 sharpness, state=bin_state, ref_tiles=ref_tiles,

@@ -39,7 +39,9 @@ from .projection import setup_triangles_corners
 
 __all__ = [
     "FusedState",
+    "CompactState",
     "build_fused_state",
+    "build_compact_state",
     "silhouette_fused",
     "loss_fused",
     "cam_rows",
@@ -105,20 +107,40 @@ def _base_corner_fields(corners_rest, face_link_onehot, link_poses):
     return rows  # list of 12 entries ([B, F] or None at w slots)
 
 
-def build_fused_state(
-    renderer,
-    Tc_c2b: jax.Array,
-    link_poses: jax.Array,
-    K: jax.Array,
-) -> FusedState:
-    """Bin + pack base-frame corner records under the current pose.
+class CompactState(NamedTuple):
+    """Per-rebin state for the compact-chunk-grid loss path
+    (ops.pose_raster_compact): records packed contiguously, chunk-aligned
+    per tile — memory, DMA and grid work scale with bin OCCUPANCY instead
+    of capacity (~5% at honest caps, BASELINE.md).
 
-    link_poses: [..., L, 4, 4]; leading batch axes are flattened (the
-    kernel runs over the flat frame axis, like silhouette_counted).
+    rec:      [Bflat, POSE_RECORD, nc*128] f32 compact field-major records
+    nlive:    [Bflat, nc] int32 — live slots per compact chunk
+    ctmap:    [Bflat, nc] int32 — tile of each compact chunk (padding
+              chunks continue the last real chunk's tile with nlive 0)
+    ncu:      [Bflat] int32 — used chunks (rest is padding)
+    counts:   [Bflat, n_tiles] int32 — per-tile loads (empty-tile loss term)
+    overflow: [] bool — bin cap, rect window, or the nc chunk budget
+              overflowed at rebin time
+    bwd_nlive/bwd_ctmap/bwd_cpos: the backward's own chunk map (equal to
+              the forward's here; the boundary-prefix variant shrinks it)
     """
+
+    rec: jax.Array
+    nlive: jax.Array
+    ctmap: jax.Array
+    ncu: jax.Array
+    counts: jax.Array
+    overflow: jax.Array
+    bwd_nlive: jax.Array
+    bwd_ctmap: jax.Array
+    bwd_cpos: jax.Array
+
+
+def _fused_bins_and_fields(renderer, Tc_c2b, link_poses, K):
+    """Shared rebin stage: current-pose binning + base-frame corner field
+    table. Returns (BinState, fpad [B, 12, F+1], lp [B, L, 4, 4])."""
     cfg = renderer.tile
     H, W = renderer.H, renderer.W
-    batch = link_poses.shape[:-3]
     lp = link_poses.reshape((-1,) + link_poses.shape[-3:])
     B = lp.shape[0]
     Tc = Tc_c2b
@@ -177,6 +199,21 @@ def build_fused_state(
     # gathered element (measured 21 ms vs 5 ms for the identical gather on
     # a materialized operand).
     fpad = jax.lax.optimization_barrier(fpad)
+    return state, fpad, lp
+
+
+def build_fused_state(
+    renderer,
+    Tc_c2b: jax.Array,
+    link_poses: jax.Array,
+    K: jax.Array,
+) -> FusedState:
+    """Bin + pack base-frame corner records under the current pose.
+
+    link_poses: [..., L, 4, 4]; leading batch axes are flattened (the
+    kernel runs over the flat frame axis, like silhouette_counted).
+    """
+    state, fpad, _ = _fused_bins_and_fields(renderer, Tc_c2b, link_poses, K)
     idx = state.idx  # [B, n_tiles, cap]
     # Field-major [B, 12, n_tiles*cap] — exactly the kernel's record layout,
     # so the gather output feeds the kernel with no transpose or padding.
@@ -185,6 +222,89 @@ def build_fused_state(
         rec=jax.lax.stop_gradient(rec),
         counts=jax.lax.stop_gradient(state.counts),
         overflow=jax.lax.stop_gradient(state.overflow),
+    )
+
+
+def build_compact_state(
+    renderer,
+    Tc_c2b: jax.Array,
+    link_poses: jax.Array,
+    K: jax.Array,
+    nc: int | None = None,
+) -> CompactState:
+    """Bin + pack COMPACT chunk-aligned records under the current pose.
+
+    nc: static compact-chunk budget (default renderer.tile.compact_chunks);
+    overflow is flagged if sum(ceil(counts/128)) exceeds it. Gather cost,
+    record memory and kernel grid all scale with nc·128 slots instead of
+    n_tiles·cap (mean occupancy ~5% at honest caps — BASELINE.md r2).
+    """
+    from ..ops.pose_raster import CHUNK as CH
+
+    cfg = renderer.tile
+    if nc is None:
+        nc = int(getattr(cfg, "compact_chunks", 0))
+    if nc <= 0:
+        raise ValueError("compact_chunks must be set (> 0) for the compact path")
+    cap = cfg.capacity
+    state, fpad, _ = _fused_bins_and_fields(renderer, Tc_c2b, link_poses, K)
+    counts = state.counts  # [B, T]
+    B, T = counts.shape
+    F = fpad.shape[-1] - 1
+
+    cpt = -(-counts // CH)  # chunks per tile
+    ends = jnp.cumsum(cpt, axis=-1)
+    ncu = ends[:, -1]
+    overflow = jnp.any(state.overflow) | jnp.any(ncu > nc)
+
+    c0 = jnp.arange(nc, dtype=jnp.int32)
+    # tile of chunk c = first t with ends[t] > c (tiles with 0 chunks are
+    # skipped: their [ends[t-1], ends[t]) range is empty)
+    tile_of = jax.vmap(
+        lambda e: jnp.searchsorted(e, c0, side="right")
+    )(ends).astype(jnp.int32)
+    # Padding chunks (c >= ncu) continue the tile of the LAST real chunk —
+    # they revisit its output block consecutively with nlive 0, never
+    # zeroing it (the kernel's `first` is False) and carrying the final
+    # loss emission. All-empty frames: clamp to tile 0; the kernel's
+    # ncu>0 gate suppresses the loss write.
+    last_tile = jax.vmap(lambda tof, n: tof[jnp.maximum(n - 1, 0)])(
+        tile_of, ncu
+    )
+    last_tile = jnp.minimum(last_tile, T - 1)
+    is_real = c0[None, :] < ncu[:, None]
+    tile_of = jnp.where(is_real, jnp.minimum(tile_of, T - 1), last_tile[:, None])
+
+    starts = ends - cpt
+    koff = (c0[None, :] - jnp.take_along_axis(starts, tile_of, axis=-1)) * CH
+    cnt_g = jnp.take_along_axis(counts, tile_of, axis=-1)
+    nlive = jnp.where(is_real, jnp.clip(cnt_g - koff, 0, CH), 0)
+
+    # Compact slot -> triangle id, through the per-tile bin lists.
+    sl = koff[:, :, None] + jnp.arange(CH, dtype=jnp.int32)  # [B, nc, CH]
+    ok = is_real[:, :, None] & (sl >= 0) & (sl < cap)
+    gi = tile_of[:, :, None] * cap + jnp.clip(sl, 0, cap - 1)
+    idxf = state.idx.reshape(B, -1)
+    tri = jnp.take_along_axis(idxf, gi.reshape(B, -1), axis=-1).reshape(
+        B, nc, CH
+    )
+    gidx = jnp.where(ok, tri, F).reshape(B, -1)
+    rec = jax.vmap(lambda f, i: jnp.take(f, i, axis=-1))(fpad, gidx)
+
+    sg = jax.lax.stop_gradient
+    nlive = sg(nlive.astype(jnp.int32))
+    ctmap = sg(tile_of.astype(jnp.int32))
+    cpos = jnp.broadcast_to(c0[None, :], (B, nc)).astype(jnp.int32)
+    return CompactState(
+        rec=sg(rec),
+        nlive=nlive,
+        ctmap=ctmap,
+        ncu=sg(ncu.astype(jnp.int32)),
+        counts=sg(counts),
+        overflow=sg(overflow),
+        bwd_nlive=nlive,
+        bwd_ctmap=ctmap,
+        bwd_cpos=sg(cpos),
     )
 
 
@@ -211,6 +331,11 @@ def silhouette_fused(
     B = 1
     for s in batch:
         B *= s
+    if isinstance(state, CompactState):
+        raise TypeError(
+            "CompactState drives the loss path only (loss_fused); for a "
+            "silhouette image pass state=None (builds a dense FusedState)"
+        )
     if state is None:
         state = build_fused_state(renderer, Tc_c2b, link_poses, K)
     cam = cam_rows(Tc_c2b, K, B)
@@ -250,7 +375,10 @@ def loss_fused(
     for s in batch:
         B *= s
     if state is None:
-        state = build_fused_state(renderer, Tc_c2b, link_poses, K)
+        if int(getattr(cfg, "compact_chunks", 0)) > 0:
+            state = build_compact_state(renderer, Tc_c2b, link_poses, K)
+        else:
+            state = build_fused_state(renderer, Tc_c2b, link_poses, K)
     cam = cam_rows(Tc_c2b, K, B)
     n_tx = _cdiv(W, cfg.tile_w)
     if ref_tiles is None:
@@ -261,9 +389,28 @@ def loss_fused(
         )
     else:
         ref_tiles = ref_tiles.reshape((B,) + ref_tiles.shape[-3:])
-    loss_b = pose_tile_loss(
-        cam, state.rec, state.counts, ref_tiles, cfg.tile_h, cfg.tile_w,
-        n_tx, H, W, sharpness, camera.NEAR_DEFAULT, camera.FAR_DEFAULT,
-        band_only=cfg.bwd_band_only,
-    )
+    if isinstance(state, CompactState):
+        from ..ops.pose_raster_compact import pose_tile_loss_compact
+
+        loss_b = pose_tile_loss_compact(
+            cam, state.rec, state.nlive, state.ctmap, state.ncu,
+            state.bwd_nlive, state.bwd_ctmap, state.bwd_cpos, ref_tiles,
+            cfg.tile_h, cfg.tile_w, n_tx, H, W, sharpness,
+            camera.NEAR_DEFAULT, camera.FAR_DEFAULT,
+            band_only=cfg.bwd_band_only,
+        )
+        # Tiles the compact map never visits (count == 0) render empty for
+        # any pose within the binning-margin contract: their loss term is
+        # the constant Σ ref² per tile, added here in XLA (no pose grad).
+        ref_sq = jnp.sum(ref_tiles * ref_tiles, axis=(-2, -1))  # [B, T]
+        empty = jnp.sum(
+            jnp.where(state.counts == 0, ref_sq, 0.0), axis=-1
+        )
+        loss_b = loss_b + jax.lax.stop_gradient(empty)
+    else:
+        loss_b = pose_tile_loss(
+            cam, state.rec, state.counts, ref_tiles, cfg.tile_h, cfg.tile_w,
+            n_tx, H, W, sharpness, camera.NEAR_DEFAULT, camera.FAR_DEFAULT,
+            band_only=cfg.bwd_band_only,
+        )
     return loss_b.reshape(batch)

@@ -137,8 +137,12 @@ class RobotRenderer:
         fused-pose kernel (gradients through Tc_c2b only).
         """
         if self.tile.fused and self.mode != "brute" and self.tile.use_pallas:
-            from .fused import FusedState, silhouette_fused
+            from .fused import CompactState, FusedState, silhouette_fused
 
+            if isinstance(bin_state, CompactState):
+                # Compact states drive the loss kernel only; a silhouette
+                # image re-bins densely (one-shot calls — not the hot loop).
+                bin_state = None
             if bin_state is None or isinstance(bin_state, FusedState):
                 return silhouette_fused(
                     self, Tc_c2b, link_poses, K, sharpness, state=bin_state
@@ -168,6 +172,10 @@ class RobotRenderer:
         from .binning import fields_and_bins
 
         if self.tile.fused and self.mode != "brute" and self.tile.use_pallas:
+            if int(getattr(self.tile, "compact_chunks", 0)) > 0:
+                from .fused import build_compact_state
+
+                return build_compact_state(self, Tc_c2b, link_poses, K)
             from .fused import build_fused_state
 
             return build_fused_state(self, Tc_c2b, link_poses, K)

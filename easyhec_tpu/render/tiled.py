@@ -66,6 +66,13 @@ class TileConfig(NamedTuple):
     #                      bboxes get 2 entries, up to bin_big_k large ones
     #                      get the full rect window (see binning.bin_count);
     #                      0 = dense ry*rx enumeration for every triangle
+    compact_chunks: int = 0  # >0: compact-chunk-grid loss path (fused only;
+    #                      ops/pose_raster_compact.py) — records packed
+    #                      contiguously into this static budget of
+    #                      128-slot chunks (sum(ceil(count/128)) over
+    #                      tiles must fit or overflow flags); memory, DMA
+    #                      and grid work scale with occupancy, not
+    #                      n_tiles*capacity. 0 = dense per-tile records
 
 
 def _cdiv(a: int, b: int) -> int:

@@ -83,6 +83,7 @@ def build_runtime(cfg: Config) -> Runtime:
         fused=cfg.render.fused,
         bwd_band_only=cfg.render.bwd_band_only,
         bin_big_k=cfg.render.bin_big_k,
+        compact_chunks=cfg.render.compact_chunks,
     )
     renderer = RobotRenderer(
         meshes, cfg.model.H, cfg.model.W, tile=tile, mode=cfg.render.mode
