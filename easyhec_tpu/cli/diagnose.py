@@ -155,6 +155,32 @@ def main(argv=None) -> int:
     }
     print("cross-pair best match per mask:", best_j.tolist())
 
+    # ---- 3a. RENDER-FREE image-space pairing check ------------------------
+    # Does mask_i actually outline the arm VISIBLE in color_i? Scored with
+    # no renderer, FK or projection involved: the mean image-gradient
+    # magnitude along mask_j's boundary in color_i (normalized by the
+    # image's mean gradient). A correctly paired mask hugs real object
+    # contours, so the matrix is diagonal-dominant iff color<->mask pairing
+    # is consistent — discriminating "qpos files scrambled" from "our
+    # FK/projection is biased" independently of our render path.
+    if batch.rgb.any():
+        img_cross = _image_pair_matrix(batch.rgb, batch.masks)
+        ibest = img_cross.argmax(axis=1)
+        diag = np.diag(img_cross)
+        off = img_cross[~np.eye(B, dtype=bool)]
+        report["image_pairing"] = {
+            "metric": "mean boundary gradient / mean image gradient",
+            "matrix": np.round(img_cross, 2).tolist(),
+            "best_mask_per_color": ibest.tolist(),
+            "diag_mean": round(float(diag.mean()), 3),
+            "offdiag_mean": round(float(off.mean()), 3),
+            "color_mask_pairing_consistent": bool((ibest == np.arange(B)).all()),
+        }
+        print(
+            f"image-space pairing: best mask per color {ibest.tolist()} "
+            f"(diag {diag.mean():.2f} vs off-diag {off.mean():.2f})"
+        )
+
     # ---- 3b. pairing repair ----------------------------------------------
     if args.repair:
         perm = _optimal_assignment(cross)
@@ -220,6 +246,40 @@ def main(argv=None) -> int:
     return 0
 
 
+def _image_pair_matrix(rgb: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    """[B, B] render-free pairing scores: rows = color images, cols = masks.
+
+    score(i, j) = mean gradient magnitude of color_i along the boundary of
+    mask_j, normalized by color_i's mean gradient. >1 means the boundary
+    lands on stronger-than-average image edges; the paired mask should
+    dominate its row. Uses only numpy image ops — no FK, projection or
+    rendering (the point: an independent check of the capture pairing).
+    """
+    B = masks.shape[0]
+    grads, bounds = [], []
+    for i in range(B):
+        g = rgb[i].astype(np.float32).mean(-1) / 255.0
+        gx = np.abs(np.diff(g, axis=1, prepend=g[:, :1]))
+        gy = np.abs(np.diff(g, axis=0, prepend=g[:1]))
+        grads.append(gx + gy)
+        m = masks[i] > 0.5
+        er = m.copy()
+        er[1:] &= m[:-1]; er[:-1] &= m[1:]
+        er[:, 1:] &= m[:, :-1]; er[:, :-1] &= m[:, 1:]
+        dl = m.copy()
+        dl[1:] |= m[:-1]; dl[:-1] |= m[1:]
+        dl[:, 1:] |= m[:, :-1]; dl[:, :-1] |= m[:, 1:]
+        bounds.append(dl & ~er)
+    out = np.zeros((B, B), np.float32)
+    for i in range(B):
+        gm = grads[i]
+        mean = max(float(gm.mean()), 1e-9)
+        for j in range(B):
+            bb = bounds[j]
+            out[i, j] = float(gm[bb].mean()) / mean if bb.any() else 0.0
+    return out
+
+
 def _optimal_assignment(cross: np.ndarray) -> np.ndarray:
     """perm with perm[i] = qpos index assigned to mask i, maximizing total
     IoU (Hungarian; greedy fallback if scipy is unavailable)."""
@@ -270,6 +330,22 @@ def _write_markdown(path: Path, r: dict) -> None:
             "- per-frame IoU: " + ", ".join(
                 f"{i}:{v:.2f}" for i, v in enumerate(r["robust"]["per_frame_iou"])
             ), "",
+        ]
+    if "image_pairing" in r:
+        ip = r["image_pairing"]
+        verdict = (
+            "color<->mask pairing CONSISTENT (the scrambled axis is the "
+            "qpos files)" if ip["color_mask_pairing_consistent"]
+            else "color<->mask pairing inconsistent"
+        )
+        lines += [
+            "## Render-free image-space pairing check",
+            "Mean image-gradient magnitude of color_i along the boundary of "
+            "mask_j, normalized (no renderer/FK/projection involved).",
+            f"- best mask per color: {ip['best_mask_per_color']}",
+            f"- diagonal mean {ip['diag_mean']} vs off-diagonal mean "
+            f"{ip['offdiag_mean']}",
+            f"- **{verdict}**", "",
         ]
     cp = r["cross_pair"]
     lines += [

@@ -183,8 +183,7 @@ def _fwd_kernel(
         def _():
             blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
             s = _chunk_setup(blk, cam, x0, y0, near, far)
-            cov, *_ = _chunk_coverage(s, px, py, count - k, sharpness)
-            acc_ref[0, 0] += jnp.sum(cov, axis=-1)
+            _fwd_accumulate(acc_ref, s, px, py, count - k, sharpness, th, tw)
 
         return 0
 
@@ -212,48 +211,6 @@ def _pix_rows(th: int, tw: int):
     px, py = _pix_grids(th, tw)
     one = jnp.ones((th, tw, 1), jnp.float32)
     return jnp.concatenate([px, py, one], axis=-1).reshape(th * tw, 3)
-
-
-def _cotangent_bbox(gp_base, th, tw):
-    """Tile-local bbox of the live-cotangent support (pixel-center coords).
-
-    Returns (gx_lo, gx_hi, gy_lo, gy_hi) scalars; an all-zero cotangent
-    yields an empty bbox (lo > hi), making every chunk-overlap test False.
-    """
-    live = jnp.abs(gp_base[:, :, 0]) > 0.0
-    # int32 iota + cast: Mosaic rejects float iota on real TPU
-    ii = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
-    jj = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
-    big = jnp.float32(1e9)
-    gy_lo = jnp.min(jnp.where(live, ii, big))
-    gy_hi = jnp.max(jnp.where(live, ii, -big))
-    gx_lo = jnp.min(jnp.where(live, jj, big))
-    gx_hi = jnp.max(jnp.where(live, jj, -big))
-    return gx_lo, gx_hi, gy_lo, gy_hi
-
-
-def _chunk_overlaps(s, gbox, sharpness):
-    """True iff any of the chunk's valid triangles can place nonzero
-    coverage inside the cotangent bbox: cov > 0 requires the pixel center
-    within 0.5/sharpness of the triangle's (dilation-clamped) bbox, so a
-    chunk whose united bbox + that band misses the live-cotangent bbox
-    contributes EXACTLY zero gradient (every term is linear in gp·1{cov>0})
-    and its pixel-block backward can be skipped."""
-    gx_lo, gx_hi, gy_lo, gy_hi = gbox
-    band = 0.5 / float(sharpness)
-    m = s["valid"]
-    big = jnp.float32(1e9)
-    lox, loy, hix, hiy = s["bbox"]
-    clo_x = jnp.min(jnp.where(m, lox, big))
-    chi_x = jnp.max(jnp.where(m, hix, -big))
-    clo_y = jnp.min(jnp.where(m, loy, big))
-    chi_y = jnp.max(jnp.where(m, hiy, -big))
-    return (
-        (clo_x - band <= gx_hi)
-        & (chi_x + band >= gx_lo)
-        & (clo_y - band <= gy_hi)
-        & (chi_y + band >= gy_lo)
-    )
 
 
 def _bwd_chunk(s, blk, cam, gp_base, px, py, remaining, sharpness,
@@ -370,6 +327,85 @@ def _bwd_chunk(s, blk, cam, gp_base, px, py, remaining, sharpness,
     return jnp.concatenate(rows, axis=0)  # [POSE_RECORD, CHUNK]
 
 
+_SUB = 8  # f32 native sublane rows per guarded pixel sub-block
+
+
+def _row_subs(th: int):
+    if th % _SUB:
+        return [(0, th)]  # odd tile heights: one full block
+    return [(r, _SUB) for r in range(0, th, _SUB)]
+
+
+def _chunk_xy_range(s, band):
+    """Band-dilated scalar bbox of the chunk's valid triangles (tile-local
+    pixel coords). Empty chunk -> inverted range, every overlap test False.
+    Coverage is exactly zero outside it: cov > 0 requires
+    dmin > -0.5/sharpness and dmin <= bbox distance."""
+    m = s["valid"]
+    big = jnp.float32(1e9)
+    lox, loy, hix, hiy = s["bbox"]
+    clo_x = jnp.min(jnp.where(m, lox, big)) - band
+    chi_x = jnp.max(jnp.where(m, hix, -big)) + band
+    clo_y = jnp.min(jnp.where(m, loy, big)) - band
+    chi_y = jnp.max(jnp.where(m, hiy, -big)) + band
+    return clo_x, chi_x, clo_y, chi_y
+
+
+def _fwd_accumulate(acc_ref, s, px, py, remaining, sharpness, th, tw):
+    """Coverage accumulation in guarded _SUB-row sub-blocks.
+
+    Each sub-block runs only if the chunk's band-dilated bbox overlaps its
+    rows (exact — see _chunk_xy_range) and the sub-block is not already
+    saturated. Chunks are id-contiguous mesh patches, typically spanning
+    few rows of a 16-row tile, so about half the [rows, tw, C] VPU
+    coverage work disappears without the tile_h=8 configuration that
+    faults the v5e worker (BASELINE.md)."""
+    band = 0.5 / float(sharpness)
+    clo_x, chi_x, clo_y, chi_y = _chunk_xy_range(s, band)
+    for (r0, rh) in _row_subs(th):
+        acc_h = acc_ref[0, 0, r0:r0 + rh]
+        overlap = (clo_y <= r0 + rh) & (chi_y >= r0)
+
+        @pl.when(overlap & (jnp.min(acc_h) < 2.0))
+        def _(r0=r0, rh=rh, acc_h=acc_h):
+            cov, *_ = _chunk_coverage(
+                s, px[r0:r0 + rh], py[r0:r0 + rh], remaining, sharpness
+            )
+            acc_ref[0, 0, r0:r0 + rh] = acc_h + jnp.sum(cov, axis=-1)
+
+
+def _bwd_accumulate(
+    dcam_ref, s, blk, cam, gp_base, px, py, remaining, sharpness, prows,
+    th, tw,
+):
+    """Backward in guarded _SUB-row sub-blocks.
+
+    A sub-block runs only if some LIVE cotangent pixel falls inside the
+    chunk's band-dilated united bbox window — exact (every contribution is
+    linear in gp·1{0<cov<1}, and cov is fractional only within
+    0.5/sharpness of the bbox). This is a finer cull than the former
+    whole-tile cotangent-bbox rectangle test, and halving the rows halves
+    the K of the [P,3]^T x [P,C] MXU reductions — the dominant backward
+    cost (BASELINE.md r2: ~2048 cycles each, K-bound)."""
+    band = 0.5 / float(sharpness)
+    clo_x, chi_x, clo_y, chi_y = _chunk_xy_range(s, band)
+    for (r0, rh) in _row_subs(th):
+        gp_h = gp_base[r0:r0 + rh]
+        px_h, py_h = px[r0:r0 + rh], py[r0:r0 + rh]
+        win = (
+            (px_h >= clo_x) & (px_h <= chi_x)
+            & (py_h >= clo_y) & (py_h <= chi_y)
+        )
+        live = jnp.max(jnp.abs(gp_h) * win.astype(jnp.float32)) > 0.0
+
+        @pl.when(live)
+        def _(gp_h=gp_h, px_h=px_h, py_h=py_h, r0=r0, rh=rh):
+            dcam_ref[0, 0] += _bwd_chunk(
+                s, blk, cam, gp_h, px_h, py_h, remaining, sharpness,
+                prows[r0 * tw:(r0 + rh) * tw],
+            )
+
+
 def _masked_cotangent(acc, g, band_only):
     gp_base = (g * (acc <= 1.0).astype(jnp.float32))[:, :, None]
     if band_only:
@@ -401,7 +437,6 @@ def _bwd_kernel(
     # tile whose masked cotangent is identically zero (background tiles,
     # perfectly matched saturated interiors) produces exactly no gradient.
     any_live = jnp.max(jnp.abs(gp_base)) > 0.0
-    gbox = _cotangent_bbox(gp_base, th, tw)
     prows = _pix_rows(th, tw)
 
     def body(j, _):
@@ -411,15 +446,11 @@ def _bwd_kernel(
         def _():
             blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
             s = _chunk_setup(blk, cam, x0, y0, near, far)
-
-            # Chunk-level cotangent-bbox cull: lane-row setup is negligible;
-            # the [tile_pixels, CHUNK] block below is the cost. Exact skip.
-            @pl.when(_chunk_overlaps(s, gbox, sharpness))
-            def _():
-                dcam_ref[0, 0] += _bwd_chunk(
-                    s, blk, cam, gp_base, px, py, count - k, sharpness,
-                    prows,
-                )
+            # Per-sub-block live-cotangent-in-window cull inside (exact).
+            _bwd_accumulate(
+                dcam_ref, s, blk, cam, gp_base, px, py, count - k,
+                sharpness, prows, th, tw,
+            )
 
         return 0
 
@@ -569,8 +600,7 @@ def _loss_fwd_kernel(
         def _():
             blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
             s = _chunk_setup(blk, cam, x0, y0, near, far)
-            cov, *_ = _chunk_coverage(s, px, py, count - k, sharpness)
-            acc_ref[0, 0] += jnp.sum(cov, axis=-1)
+            _fwd_accumulate(acc_ref, s, px, py, count - k, sharpness, th, tw)
 
         return 0
 
@@ -607,7 +637,6 @@ def _loss_bwd_kernel(
 
     dcam_ref[0, 0] = jnp.zeros((POSE_RECORD, CHUNK), jnp.float32)
     any_live = jnp.max(jnp.abs(gp_base)) > 0.0
-    gbox = _cotangent_bbox(gp_base, th, tw)
     prows = _pix_rows(th, tw)
 
     def body(j, _):
@@ -617,13 +646,10 @@ def _loss_bwd_kernel(
         def _():
             blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
             s = _chunk_setup(blk, cam, x0, y0, near, far)
-
-            @pl.when(_chunk_overlaps(s, gbox, sharpness))
-            def _():
-                dcam_ref[0, 0] += _bwd_chunk(
-                    s, blk, cam, gp_base, px, py, count - k, sharpness,
-                    prows,
-                )
+            _bwd_accumulate(
+                dcam_ref, s, blk, cam, gp_base, px, py, count - k,
+                sharpness, prows, th, tw,
+            )
 
         return 0
 

@@ -51,12 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .pose_raster import (
     CHUNK,
     POSE_RECORD,
-    _bwd_chunk,
-    _chunk_coverage,
-    _chunk_overlaps,
+    _bwd_accumulate,
     _chunk_setup,
-    _cotangent_bbox,
     _crop_mask,
+    _fwd_accumulate,
     _on_tpu,
     _pix_grids,
     _pix_rows,
@@ -94,8 +92,7 @@ def _loss_fwd_kernel_compact(
     def _():
         blk = rec_ref[0]
         s = _chunk_setup(blk, cam, x0, y0, near, far)
-        cov, *_ = _chunk_coverage(s, px, py, nl, sharpness)
-        acc_ref[0, 0] += jnp.sum(cov, axis=-1)
+        _fwd_accumulate(acc_ref, s, px, py, nl, sharpness, th, tw)
 
     acc = acc_ref[0, 0]
     e = jnp.minimum(jnp.maximum(acc, 0.0), 1.0) - ref_ref[0, 0]
@@ -132,19 +129,17 @@ def _loss_bwd_kernel_compact(
     dcam_ref[0, 0] = jnp.zeros((POSE_RECORD, CHUNK), jnp.float32)
     nl = nlive_ref[b, c]
     any_live = (jnp.max(jnp.abs(gp_base)) > 0.0) & (nl > 0)
-    gbox = _cotangent_bbox(gp_base, th, tw)
     prows = _pix_rows(th, tw)
 
     @pl.when(any_live)
     def _():
         blk = rec_ref[0]
         s = _chunk_setup(blk, cam, x0, y0, near, far)
-
-        @pl.when(_chunk_overlaps(s, gbox, sharpness))
-        def _():
-            dcam_ref[0, 0] += _bwd_chunk(
-                s, blk, cam, gp_base, px, py, nl, sharpness, prows
-            )
+        # Per-sub-block live-cotangent-in-window cull inside (exact).
+        _bwd_accumulate(
+            dcam_ref, s, blk, cam, gp_base, px, py, nl, sharpness, prows,
+            th, tw,
+        )
 
 
 @functools.lru_cache(maxsize=None)

@@ -289,50 +289,67 @@ def mini_bench(r, xi, lp, K, label, steps=324, rebin=12):
 
 
 def main():
+    import os
+
+    phases = set(os.environ.get("R3_PHASES", "p1,p2,p3").split(","))
     phase("P0 warmup")
     x = jnp.ones((256, 256))
     print(float((x @ x).sum()), flush=True)
 
-    phase("P1 rebin attribution (cap 1792)")
-    nc_holder = {}
+    nc = int(os.environ.get("R3_NC", "184"))
+    if "p1" in phases:
+        phase("P1 rebin attribution (cap 1792)")
+        nc_holder = {}
 
-    def p1():
-        nc_holder["nc"] = p1_attribution()
+        def p1():
+            nc_holder["nc"] = p1_attribution()
 
-    guarded(p1)
-    nc = nc_holder.get("nc", 384)
+        guarded(p1)
+        nc = nc_holder.get("nc", nc)
 
-    phase("P2 step timings dense")
+    if "p2" in phases:
+        phase("P2 step timings dense")
 
-    def p2d():
-        r, xi, lp, K = build(compact_chunks=0)
-        step_timings(r, xi, lp, K, "dense")
+        def p2d():
+            r, xi, lp, K = build(compact_chunks=0)
+            step_timings(r, xi, lp, K, "dense")
 
-    guarded(p2d)
+        guarded(p2d)
 
-    phase("P2 step timings compact")
+        phase("P2 step timings compact")
 
-    def p2c():
-        r, xi, lp, K = build(compact_chunks=nc)
-        step_timings(r, xi, lp, K, f"compact nc={nc}")
+        def p2c():
+            r, xi, lp, K = build(compact_chunks=nc)
+            step_timings(r, xi, lp, K, f"compact nc={nc}")
 
-    guarded(p2c)
+        guarded(p2c)
 
-    phase("P3 mini bench dense")
+    if "p3" in phases:
+        phase("P3 mini bench dense")
 
-    def p3d():
-        r, xi, lp, K = build(compact_chunks=0)
-        mini_bench(r, xi, lp, K, "dense")
+        def p3d():
+            r, xi, lp, K = build(compact_chunks=0)
+            mini_bench(r, xi, lp, K, "dense")
 
-    guarded(p3d)
+        guarded(p3d)
 
-    phase("P3 mini bench compact")
+        phase("P3 mini bench compact")
 
-    def p3c():
-        r, xi, lp, K = build(compact_chunks=nc)
-        mini_bench(r, xi, lp, K, f"compact nc={nc}")
+        def p3c():
+            r, xi, lp, K = build(compact_chunks=nc)
+            mini_bench(r, xi, lp, K, f"compact nc={nc}")
 
-    guarded(p3c)
+        guarded(p3c)
+
+    if "p4" in phases:
+        # 1000-step full-bench equivalents (driver-identical workload)
+        phase("P4 full bench compact")
+
+        def p4c():
+            r, xi, lp, K = build(compact_chunks=nc)
+            mini_bench(r, xi, lp, K, f"compact nc={nc}", steps=1000)
+
+        guarded(p4c)
 
     phase("DONE")
     return 0
