@@ -91,25 +91,30 @@ def build_scene():
         mesh_list = [meshes[n] for n in names]
 
     H, W = 480, 640
-    # Capacity 1792 covers the TRUE max bin load of this scene (measured
-    # 1720 at 16x128 tiles; caps below that silently truncate dense tiles —
-    # r1/r2 ran cap 512 and dropped work in ~8% of occupied tiles). The
-    # occupancy-proportional chunk loops + saturation early-out keep large
-    # caps cheap; run_bench() asserts the overflow flag stays False at
-    # every rebin of the loop.
+    # Winning round-3 config (BASELINE.md ledger): 16x32 tiles + the
+    # compact-chunk grid. Small tile AREA is the big lever — coverage work
+    # is (tile pixels x chunk lanes) per chunk, mostly waste for sub-pixel
+    # triangles — and the compact grid absorbs the smaller bins'
+    # raggedness. Cap 1280 covers the TRUE max bin load (CPU audit: 996 at
+    # the target pose + drift headroom; caps below the real load silently
+    # truncate dense tiles and inflate the number — the r2 lesson).
+    # run_bench() asserts the overflow flag stays False at every rebin.
     th = int(os.environ.get("BENCH_TILE_H", "16"))
-    cap = int(os.environ.get("BENCH_CAP", "1792"))
-    big_k = int(os.environ.get("BENCH_BIG_K", "2048"))
+    tw = int(os.environ.get("BENCH_TILE_W", "32"))
+    cap = int(os.environ.get("BENCH_CAP", "1280"))
+    big_k = int(os.environ.get("BENCH_BIG_K", "6144"))
     rect_y = int(os.environ.get("BENCH_RECT_Y", {8: "9", 16: "5", 32: "3"}.get(th, "5")))
-    compact = int(os.environ.get("BENCH_COMPACT", "0"))
+    rect_x = int(os.environ.get("BENCH_RECT_X", "3"))
+    compact = int(os.environ.get("BENCH_COMPACT", "256"))
     tile = TileConfig(
-        th, 128, cap, True, binner="count", rect_y=rect_y, rect_x=2,
+        th, tw, cap, True, binner="count", rect_y=rect_y, rect_x=rect_x,
         margin=2.0,
         cull_backfaces=True,  # closed CAD meshes: exact, halves bin loads
         fused=True,
         bwd_band_only=True,  # exact (tests/test_fused.py TestBandOnlyBackward)
         bin_big_k=big_k,  # span-classed binning: ~4x cheaper rebin scatter
-        compact_chunks=compact,  # >0: compact-chunk-grid loss path
+        bin_subsort_rows=True,  # row-coherent bins for the sub-block guards
+        compact_chunks=compact,  # compact-chunk-grid loss path
     )
     renderer = RobotRenderer(mesh_list, H, W, tile=tile)
     link_idx = jnp.asarray([chain.link_index(n) for n in names])

@@ -8,6 +8,9 @@ capture dir into mask/). Modes:
   every frame (the pointrend_api role, easyhec/utils/pointrend_api.py:73-99).
 - --box x0 y0 x1 y1 [--point x y l ...]: programmatic prompts applied to
   every frame (headless).
+- --repl: terminal-driven INTERACTIVE session per frame (add/remove
+  prompts, re-segment, ASCII/PNG preview, accept/skip — io/annotate.
+  annotate_repl); works over ssh with no display.
 - default: interactive window per frame (needs a display).
 """
 from __future__ import annotations
@@ -27,11 +30,18 @@ def main(argv=None) -> int:
     ap.add_argument("--point", type=int, nargs=3, action="append", default=None,
                     help="x y label (1 pos / 0 neg)")
     ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--repl", action="store_true",
+                    help="terminal-driven interactive annotation (headless)")
     args = ap.parse_args(argv)
 
     from PIL import Image
 
-    from ..io.annotate import PromptDrawer, PromptMasker, Prompts
+    from ..io.annotate import (
+        PromptDrawer,
+        PromptMasker,
+        Prompts,
+        annotate_repl,
+    )
 
     data = Path(args.data_dir)
     color_dir = data / "color"
@@ -63,7 +73,15 @@ def main(argv=None) -> int:
         if out.exists() and not args.overwrite:
             continue
         rgb = np.asarray(Image.open(f).convert("RGB"))
-        if headless:
+        if args.repl:  # pragma: no cover - interactive terminal
+            print(f"--- frame {f.name} ---")
+            mask = annotate_repl(
+                rgb, masker,
+                overlay_path=str(mask_dir / f"{f.stem}_overlay.png"),
+            )
+            if mask is None:
+                continue
+        elif headless:
             if args.auto and not (prompts.boxes or prompts.points):
                 mask = backend.predict(rgb)
             else:

@@ -58,6 +58,8 @@ class RenderConfig:
     #                     enumeration; >0 = 2 entries per small triangle +
     #                     full window for up to bin_big_k large ones (~4x
     #                     cheaper rebinning at production scale)
+    bin_subsort_rows: bool = False  # row-coherent bin ordering (see
+    #                     render/tiled.py TileConfig.bin_subsort_rows)
     compact_chunks: int = 0  # >0: compact-chunk-grid loss path — records
     #                     packed contiguously into this many 128-slot
     #                     chunks; rebin gather + kernel grid scale with

@@ -22,7 +22,13 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["PromptMasker", "PromptDrawer", "Prompts"]
+__all__ = [
+    "PromptMasker",
+    "PromptDrawer",
+    "Prompts",
+    "AnnotationSession",
+    "annotate_repl",
+]
 
 
 @dataclass
@@ -161,6 +167,157 @@ def _connected_components(binary: np.ndarray) -> np.ndarray:
                         q.append((ny, nx_))
             nxt += 1
         return labels
+
+
+class AnnotationSession:
+    """Incremental annotation state machine (the click → re-segment →
+    inspect → accept workflow of the reference PromptDrawer,
+    easyhec/utils/prompt_drawer.py:59-133, decoupled from any UI).
+
+    Every prompt mutation re-runs the backend; `undo` removes the most
+    recent prompt and re-segments. Drive it from the cv2 window
+    (PromptDrawer), the terminal REPL (annotate_repl), or tests."""
+
+    def __init__(self, rgb: np.ndarray, masker: PromptMasker | None = None):
+        self.rgb = np.asarray(rgb)
+        self.masker = masker or PromptMasker()
+        self.prompts = Prompts()
+        self.mask = np.zeros(self.rgb.shape[:2], np.float32)
+
+    def _refresh(self) -> np.ndarray:
+        if self.prompts.boxes or self.prompts.points:
+            self.mask = self.masker.predict(self.rgb, self.prompts)
+        else:
+            self.mask = np.zeros(self.rgb.shape[:2], np.float32)
+        return self.mask
+
+    def add_box(self, x0: int, y0: int, x1: int, y1: int) -> np.ndarray:
+        self.prompts.add_box(x0, y0, x1, y1)
+        return self._refresh()
+
+    def add_point(self, x: int, y: int, label: int = 1) -> np.ndarray:
+        self.prompts.add_point(x, y, label)
+        return self._refresh()
+
+    def undo(self) -> np.ndarray:
+        self.prompts.undo()
+        return self._refresh()
+
+    def reset(self) -> np.ndarray:
+        self.prompts.reset()
+        return self._refresh()
+
+    def stats(self) -> dict:
+        m = self.mask > 0.5
+        ys, xs = np.nonzero(m)
+        return {
+            "area_px": int(m.sum()),
+            "area_frac": float(m.mean()),
+            "n_components": int(_connected_components(m).max()),
+            "bbox": (
+                [int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())]
+                if m.any() else None
+            ),
+            "n_prompts": len(self.prompts.boxes) + len(self.prompts.points),
+        }
+
+    def overlay(self) -> np.ndarray:
+        from ..utils.imaging import vis_mask
+
+        return vis_mask(self.rgb, self.mask, color=(0, 255, 0), alpha=0.45)
+
+    def ascii_preview(self, width: int = 64) -> str:
+        """Coarse terminal rendering of the current mask over the image."""
+        H, W = self.mask.shape
+        w = min(width, W)
+        h = max(1, round(H * w / W / 2))  # terminal cells are ~2:1
+        sy, sx = H // h or 1, W // w or 1
+        m = self.mask[: h * sy, : w * sx].reshape(h, sy, w, sx).mean((1, 3))
+        g = self.rgb[: h * sy, : w * sx, :3].mean(-1)
+        g = g.reshape(h, sy, w, sx).mean((1, 3)) / 255.0
+        rows = []
+        for i in range(h):
+            row = []
+            for j in range(w):
+                if m[i, j] > 0.5:
+                    row.append("#")
+                elif m[i, j] > 0.1:
+                    row.append("+")
+                else:
+                    row.append(" .:-="[min(4, int(g[i, j] * 5))])
+            rows.append("".join(row))
+        return "\n".join(rows)
+
+
+_REPL_HELP = """commands:
+  box X0 Y0 X1 Y1   add a box prompt (re-segments)
+  pos X Y           add a positive point
+  neg X Y           add a negative point (punches the component)
+  undo              remove the last prompt and re-segment
+  reset             clear all prompts
+  show              print stats + ASCII preview (and save overlay.png)
+  accept            finish, return the mask
+  skip              finish, return None
+  help              this text"""
+
+
+def annotate_repl(
+    rgb: np.ndarray,
+    masker: PromptMasker | None = None,
+    input_fn=input,
+    echo=print,
+    overlay_path: str | None = None,
+) -> np.ndarray | None:
+    """Terminal-driven incremental annotation (headless counterpart of the
+    reference's interactive SAM window). Reads commands from `input_fn`
+    (stdin by default; pass an iterator's __next__ for scripted use),
+    re-segments after every prompt change, and prints compact feedback.
+    Returns the accepted mask or None on skip."""
+    s = AnnotationSession(rgb, masker)
+    echo(f"annotating {rgb.shape[1]}x{rgb.shape[0]} image; 'help' for commands")
+    while True:
+        try:
+            line = input_fn("annotate> " if input_fn is input else "")
+        except (EOFError, StopIteration):
+            return None
+        cmd, *args = (line.strip().split() or [""])
+        try:
+            if cmd == "box" and len(args) == 4:
+                s.add_box(*map(int, args))
+            elif cmd in ("pos", "neg") and len(args) == 2:
+                s.add_point(int(args[0]), int(args[1]), 1 if cmd == "pos" else 0)
+            elif cmd == "undo":
+                s.undo()
+            elif cmd == "reset":
+                s.reset()
+            elif cmd == "show":
+                echo(s.ascii_preview())
+                if overlay_path is not None:
+                    from ..utils.imaging import save_image
+
+                    save_image(overlay_path, s.overlay())
+                    echo(f"overlay saved to {overlay_path}")
+            elif cmd == "accept":
+                return s.mask
+            elif cmd == "skip":
+                return None
+            elif cmd in ("help", "?"):
+                echo(_REPL_HELP)
+                continue
+            elif cmd == "":
+                continue
+            else:
+                echo(f"unknown command {line!r}; 'help' for commands")
+                continue
+        except ValueError as e:
+            echo(f"bad arguments: {e}")
+            continue
+        st = s.stats()
+        echo(
+            f"mask: {st['area_px']} px ({100*st['area_frac']:.1f}%), "
+            f"{st['n_components']} component(s), "
+            f"{st['n_prompts']} prompt(s)"
+        )
 
 
 class PromptDrawer:  # pragma: no cover - needs a display

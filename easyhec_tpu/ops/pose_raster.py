@@ -130,14 +130,23 @@ def _chunk_setup(blk, cam, x0, y0, near, far):
     hix = jnp.maximum(jnp.maximum(u[0], u[1]), u[2])
     loy = jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
     hiy = jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
+    # Invalid lanes (z-clipped, degenerate, or zero sentinel records —
+    # empty slots gather the all-zero pad column, so z=0 fails z>near)
+    # get a poisoned bbox: dbb = px-lox = -1e9 -> dmin -> cov = 0. This
+    # kills dead lanes in SETUP ([1, C] rows) instead of a per-pixel
+    # [rows, tw, C] slot/valid mask in the coverage hot loop.
+    lox = jnp.where(valid, lox, jnp.float32(1e9))
     return dict(
         xc=xc, yc=yc, zc=zc, u=u, v=v, valid=valid, orient=orient,
         edges=edges, bbox=(lox, loy, hix, hiy),
     )
 
 
-def _chunk_coverage(s, px, py, remaining, sharpness):
-    """Coverage + distance arms of one setup chunk over the pixel block."""
+def _chunk_coverage(s, px, py, sharpness):
+    """Coverage + distance arms of one setup chunk over the pixel block.
+
+    Dead lanes need no per-pixel mask: _chunk_setup poisons their bbox so
+    dbb (hence dmin, hence cov) is very negative everywhere."""
     C = s["valid"].shape[-1]
 
     def r3(x):  # [1, C] -> [1, 1, C]
@@ -152,9 +161,6 @@ def _chunk_coverage(s, px, py, remaining, sharpness):
     )
     dmin = jnp.minimum(jnp.minimum(jnp.minimum(ds[0], ds[1]), ds[2]), dbb)
     cov = jnp.minimum(jnp.maximum(0.5 + sharpness * dmin, 0.0), 1.0)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
-    live = (slot < remaining) & r3(s["valid"])
-    cov = jnp.where(live, cov, 0.0)
     return cov, ds, dbb, dmin
 
 
@@ -183,7 +189,7 @@ def _fwd_kernel(
         def _():
             blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
             s = _chunk_setup(blk, cam, x0, y0, near, far)
-            _fwd_accumulate(acc_ref, s, px, py, count - k, sharpness, th, tw)
+            _fwd_accumulate(acc_ref, s, sharpness, th, tw)
 
         return 0
 
@@ -213,7 +219,7 @@ def _pix_rows(th: int, tw: int):
     return jnp.concatenate([px, py, one], axis=-1).reshape(th * tw, 3)
 
 
-def _bwd_chunk(s, blk, cam, gp_base, px, py, remaining, sharpness,
+def _bwd_chunk(s, blk, cam, gp_base, px, py, sharpness,
                prows=None):
     """Analytic backward of one record chunk: d(loss)/d(Tc) lane partials.
 
@@ -227,7 +233,7 @@ def _bwd_chunk(s, blk, cam, gp_base, px, py, remaining, sharpness,
     ~40% of the backward's cycles on v5e.
     """
     fx, fy = cam[12], cam[13]
-    cov, ds, dbb, dmin = _chunk_coverage(s, px, py, remaining, sharpness)
+    cov, ds, dbb, dmin = _chunk_coverage(s, px, py, sharpness)
     in_band = (cov > 0.0) & (cov < 1.0)
     gp = gp_base * in_band.astype(jnp.float32) * sharpness
 
@@ -243,16 +249,32 @@ def _bwd_chunk(s, blk, cam, gp_base, px, py, remaining, sharpness,
     def red(val):  # [th, tw, C] -> [1, C]
         return jnp.sum(val, axis=(0, 1))[None, :]
 
-    if prows is None:
-        prows = _pix_rows(gp.shape[0], gp.shape[1])
     dabc = []
-    for m in (m0, m1, m2):
-        G = (gp * m.astype(jnp.float32)).reshape(P, C)
-        r = jax.lax.dot_general(
-            prows, G, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [3, C]: rows = (Σ g·px, Σ g·py, Σ g)
-        dabc.append((r[0:1], r[1:2], r[2:3]))
+    if _BWD_REDUCE == "factored":
+        # Separable reduction: px depends only on the COLUMN and py only on
+        # the ROW, so Σ_p g·px = Σ_col px·(Σ_row g) and Σ_p g·py =
+        # Σ_col (Σ_row g·py) — one [rows, tw, C] row-reduce pair per arm
+        # plus tiny [tw, C] column stages, instead of a [P,3]ᵀ×[P,C]
+        # K-bound MXU dot (K = pixels; BASELINE.md r2: ~2048 cycles each).
+        px_row = px[0, :, :]  # [tw, 1] column coordinate
+        for m in (m0, m1, m2):
+            gm = gp * m.astype(jnp.float32)  # [rows, tw, C]
+            r0 = jnp.sum(gm, axis=0)         # [tw, C]
+            r1 = jnp.sum(gm * py, axis=0)    # [tw, C]
+            sg = jnp.sum(r0, axis=0)[None, :]
+            sgx = jnp.sum(r0 * px_row, axis=0)[None, :]
+            sgy = jnp.sum(r1, axis=0)[None, :]
+            dabc.append((sgx, sgy, sg))
+    else:
+        if prows is None:
+            prows = _pix_rows(gp.shape[0], gp.shape[1])
+        for m in (m0, m1, m2):
+            G = (gp * m.astype(jnp.float32)).reshape(P, C)
+            r = jax.lax.dot_general(
+                prows, G, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [3, C]: rows = (Σ g·px, Σ g·py, Σ g)
+            dabc.append((r[0:1], r[1:2], r[2:3]))
 
     lox, loy, hix, hiy = (x.reshape(1, 1, CHUNK) for x in s["bbox"])
     axl = (px - lox) <= dbb
@@ -327,7 +349,13 @@ def _bwd_chunk(s, blk, cam, gp_base, px, py, remaining, sharpness,
     return jnp.concatenate(rows, axis=0)  # [POSE_RECORD, CHUNK]
 
 
-_SUB = 8  # f32 native sublane rows per guarded pixel sub-block
+import os as _os
+
+# Backward reduction strategy ("factored" separable VPU vs "mxu" dots) and
+# sub-block row granularity — read at TRACE time (A/B them across fresh
+# processes; the kernel factories are lru_cached within a process).
+_BWD_REDUCE = _os.environ.get("EASYHEC_BWD_REDUCE", "mxu")
+_SUB = int(_os.environ.get("EASYHEC_SUB_ROWS", "8"))  # f32 native sublanes
 
 
 def _row_subs(th: int):
@@ -351,7 +379,34 @@ def _chunk_xy_range(s, band):
     return clo_x, chi_x, clo_y, chi_y
 
 
-def _fwd_accumulate(acc_ref, s, px, py, remaining, sharpness, th, tw):
+def _sub_grids(r0: int, rh: int, tw: int):
+    """Pixel-center grids of rows [r0, r0+rh) — GENERATED per sub-block,
+    never sliced from the full grid: static slicing of [th, tw, 1]
+    trailing-singleton values SIGABRTs the Mosaic compile helper ("Check
+    failed: limits[i] <= dim(i) (16 vs. 1)", array.h:480 — the same
+    signature as the historical tile_h=8/cap-1024 faults, BASELINE.md).
+    Mixed int+slice REF indexing (acc_ref[0, 0, r0:r0+rh]) hits the same
+    check, and dynamic_update_slice has no Pallas TPU lowering — so refs
+    are only ever read/stored as FULL blocks throughout."""
+    px = (
+        jax.lax.broadcasted_iota(jnp.int32, (rh, tw, 1), 1).astype(jnp.float32)
+        + 0.5
+    )
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (rh, tw, 1), 0).astype(jnp.float32)
+        + 0.5
+        + float(r0)
+    )
+    return px, py
+
+
+def _pix_rows_sub(r0: int, rh: int, tw: int):
+    px, py = _sub_grids(r0, rh, tw)
+    one = jnp.ones((rh, tw, 1), jnp.float32)
+    return jnp.concatenate([px, py, one], axis=-1).reshape(rh * tw, 3)
+
+
+def _fwd_accumulate(acc_ref, s, sharpness, th, tw):
     """Coverage accumulation in guarded _SUB-row sub-blocks.
 
     Each sub-block runs only if the chunk's band-dilated bbox overlaps its
@@ -359,27 +414,38 @@ def _fwd_accumulate(acc_ref, s, px, py, remaining, sharpness, th, tw):
     saturated. Chunks are id-contiguous mesh patches, typically spanning
     few rows of a 16-row tile, so about half the [rows, tw, C] VPU
     coverage work disappears without the tile_h=8 configuration that
-    faults the v5e worker (BASELINE.md)."""
+    faults the compile helper (see _sub_grids). The store pads the
+    sub-block delta with static zeros and adds the full block."""
     band = 0.5 / float(sharpness)
     clo_x, chi_x, clo_y, chi_y = _chunk_xy_range(s, band)
+    full = acc_ref[0, 0]
     for (r0, rh) in _row_subs(th):
-        acc_h = acc_ref[0, 0, r0:r0 + rh]
+        acc_h0 = full[r0:r0 + rh]
         overlap = (clo_y <= r0 + rh) & (chi_y >= r0)
 
-        @pl.when(overlap & (jnp.min(acc_h) < 2.0))
-        def _(r0=r0, rh=rh, acc_h=acc_h):
-            cov, *_ = _chunk_coverage(
-                s, px[r0:r0 + rh], py[r0:r0 + rh], remaining, sharpness
-            )
-            acc_ref[0, 0, r0:r0 + rh] = acc_h + jnp.sum(cov, axis=-1)
+        @pl.when(overlap & (jnp.min(acc_h0) < 2.0))
+        def _(r0=r0, rh=rh):
+            cur = acc_ref[0, 0]
+            pxh, pyh = _sub_grids(r0, rh, tw)
+            cov, *_ = _chunk_coverage(s, pxh, pyh, sharpness)
+            delta = jnp.sum(cov, axis=-1)  # [rh, tw]
+            parts = []
+            if r0 > 0:
+                parts.append(jnp.zeros((r0, tw), jnp.float32))
+            parts.append(delta)
+            if r0 + rh < th:
+                parts.append(jnp.zeros((th - r0 - rh, tw), jnp.float32))
+            upd = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+            acc_ref[0, 0] = cur + upd
 
 
 def _bwd_accumulate(
-    dcam_ref, s, blk, cam, gp_base, px, py, remaining, sharpness, prows,
-    th, tw,
+    dcam_ref, s, blk, cam, gp2, sharpness, th, tw,
 ):
     """Backward in guarded _SUB-row sub-blocks.
 
+    gp2: [th, tw] masked loss cotangent (2D — sliced per sub-block then
+    expanded; 3D trailing-singleton slicing crashes Mosaic, _sub_grids).
     A sub-block runs only if some LIVE cotangent pixel falls inside the
     chunk's band-dilated united bbox window — exact (every contribution is
     linear in gp·1{0<cov<1}, and cov is fractional only within
@@ -390,8 +456,8 @@ def _bwd_accumulate(
     band = 0.5 / float(sharpness)
     clo_x, chi_x, clo_y, chi_y = _chunk_xy_range(s, band)
     for (r0, rh) in _row_subs(th):
-        gp_h = gp_base[r0:r0 + rh]
-        px_h, py_h = px[r0:r0 + rh], py[r0:r0 + rh]
+        gp_h = gp2[r0:r0 + rh][:, :, None]
+        px_h, py_h = _sub_grids(r0, rh, tw)
         win = (
             (px_h >= clo_x) & (px_h <= chi_x)
             & (py_h >= clo_y) & (py_h <= chi_y)
@@ -401,13 +467,14 @@ def _bwd_accumulate(
         @pl.when(live)
         def _(gp_h=gp_h, px_h=px_h, py_h=py_h, r0=r0, rh=rh):
             dcam_ref[0, 0] += _bwd_chunk(
-                s, blk, cam, gp_h, px_h, py_h, remaining, sharpness,
-                prows[r0 * tw:(r0 + rh) * tw],
+                s, blk, cam, gp_h, px_h, py_h, sharpness,
+                _pix_rows_sub(r0, rh, tw),
             )
 
 
 def _masked_cotangent(acc, g, band_only):
-    gp_base = (g * (acc <= 1.0).astype(jnp.float32))[:, :, None]
+    """[th, tw] masked cotangent (2D; expanded per sub-block downstream)."""
+    gp_base = g * (acc <= 1.0).astype(jnp.float32)
     if band_only:
         # Restrict gradient flow to silhouette-BAND pixels (0 < acc < 1).
         # Non-band pixels carry only internal-mesh-edge contributions whose
@@ -415,7 +482,7 @@ def _masked_cotangent(acc, g, band_only):
         # d(cov_A + cov_B)/d(edge) = 0 exactly away from clipping); dropping
         # them leaves the pose gradient intact to roundoff while letting
         # every interior/background tile skip its backward entirely.
-        band = ((acc > 0.0) & (acc < 1.0)).astype(jnp.float32)[:, :, None]
+        band = ((acc > 0.0) & (acc < 1.0)).astype(jnp.float32)
         gp_base = gp_base * band
     return gp_base
 
@@ -431,13 +498,12 @@ def _bwd_kernel(
     x0, y0 = _tile_origin(i, n_tx, th, tw)
     px, py = _pix_grids(th, tw)
 
-    gp_base = _masked_cotangent(acc_ref[0, 0], g_ref[0, 0], band_only)
+    gp2 = _masked_cotangent(acc_ref[0, 0], g_ref[0, 0], band_only)
     dcam_ref[0, 0] = jnp.zeros((POSE_RECORD, CHUNK), jnp.float32)
-    # Exact tile skip: every contribution below is linear in gp_base, so a
+    # Exact tile skip: every contribution below is linear in gp2, so a
     # tile whose masked cotangent is identically zero (background tiles,
     # perfectly matched saturated interiors) produces exactly no gradient.
-    any_live = jnp.max(jnp.abs(gp_base)) > 0.0
-    prows = _pix_rows(th, tw)
+    any_live = jnp.max(jnp.abs(gp2)) > 0.0
 
     def body(j, _):
         k = j * CHUNK
@@ -448,8 +514,7 @@ def _bwd_kernel(
             s = _chunk_setup(blk, cam, x0, y0, near, far)
             # Per-sub-block live-cotangent-in-window cull inside (exact).
             _bwd_accumulate(
-                dcam_ref, s, blk, cam, gp_base, px, py, count - k,
-                sharpness, prows, th, tw,
+                dcam_ref, s, blk, cam, gp2, sharpness, th, tw,
             )
 
         return 0
@@ -600,7 +665,7 @@ def _loss_fwd_kernel(
         def _():
             blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
             s = _chunk_setup(blk, cam, x0, y0, near, far)
-            _fwd_accumulate(acc_ref, s, px, py, count - k, sharpness, th, tw)
+            _fwd_accumulate(acc_ref, s, sharpness, th, tw)
 
         return 0
 
@@ -633,11 +698,9 @@ def _loss_bwd_kernel(
         # Same exactness argument as _masked_cotangent: non-band pixels
         # carry only pairwise-cancelling internal-edge contributions.
         gp2 = gp2 * ((acc > 0.0) & (acc < 1.0)).astype(jnp.float32)
-    gp_base = gp2[:, :, None]
 
     dcam_ref[0, 0] = jnp.zeros((POSE_RECORD, CHUNK), jnp.float32)
-    any_live = jnp.max(jnp.abs(gp_base)) > 0.0
-    prows = _pix_rows(th, tw)
+    any_live = jnp.max(jnp.abs(gp2)) > 0.0
 
     def body(j, _):
         k = j * CHUNK
@@ -647,8 +710,7 @@ def _loss_bwd_kernel(
             blk = rec_ref[0, :, pl.ds(pl.multiple_of(k, CHUNK), CHUNK)]
             s = _chunk_setup(blk, cam, x0, y0, near, far)
             _bwd_accumulate(
-                dcam_ref, s, blk, cam, gp_base, px, py, count - k,
-                sharpness, prows, th, tw,
+                dcam_ref, s, blk, cam, gp2, sharpness, th, tw,
             )
 
         return 0

@@ -57,7 +57,6 @@ from .pose_raster import (
     _fwd_accumulate,
     _on_tpu,
     _pix_grids,
-    _pix_rows,
     _tile_origin,
 )
 
@@ -92,7 +91,7 @@ def _loss_fwd_kernel_compact(
     def _():
         blk = rec_ref[0]
         s = _chunk_setup(blk, cam, x0, y0, near, far)
-        _fwd_accumulate(acc_ref, s, px, py, nl, sharpness, th, tw)
+        _fwd_accumulate(acc_ref, s, sharpness, th, tw)
 
     acc = acc_ref[0, 0]
     e = jnp.minimum(jnp.maximum(acc, 0.0), 1.0) - ref_ref[0, 0]
@@ -124,12 +123,10 @@ def _loss_bwd_kernel_compact(
         # Exactness: non-band pixels carry only pairwise-cancelling
         # internal-edge contributions (see pose_raster._masked_cotangent).
         gp2 = gp2 * ((acc > 0.0) & (acc < 1.0)).astype(jnp.float32)
-    gp_base = gp2[:, :, None]
 
     dcam_ref[0, 0] = jnp.zeros((POSE_RECORD, CHUNK), jnp.float32)
     nl = nlive_ref[b, c]
-    any_live = (jnp.max(jnp.abs(gp_base)) > 0.0) & (nl > 0)
-    prows = _pix_rows(th, tw)
+    any_live = (jnp.max(jnp.abs(gp2)) > 0.0) & (nl > 0)
 
     @pl.when(any_live)
     def _():
@@ -137,8 +134,7 @@ def _loss_bwd_kernel_compact(
         s = _chunk_setup(blk, cam, x0, y0, near, far)
         # Per-sub-block live-cotangent-in-window cull inside (exact).
         _bwd_accumulate(
-            dcam_ref, s, blk, cam, gp_base, px, py, nl, sharpness, prows,
-            th, tw,
+            dcam_ref, s, blk, cam, gp2, sharpness, th, tw,
         )
 
 

@@ -79,11 +79,25 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx,
-                      big_k=0):
+                      big_k=0, suby=None):
     F = valid.shape[-1]
     n_ty, n_tx = _cdiv(H, th), _cdiv(W, tw)
     K = n_ty * n_tx
-    SENT = K  # histogram column for unused entries
+    # suby (bbox center y, image px) enables ROW-SUB-CLASSED bins: the
+    # composite key tile*2 + 1{center in lower half of the tile} makes each
+    # bin's upper-half triangles a contiguous prefix, so the per-chunk
+    # united bbox becomes row-coherent and the kernels' 8-row sub-block
+    # guards (ops/pose_raster._fwd/_bwd_accumulate) actually fire. Order
+    # within a bin is semantically free (the coverage sum is commutative).
+    NCLS = 1 if suby is None else 2
+    SENT = K * NCLS  # histogram column for unused entries
+
+    def _cls(ty, sy):
+        # row class of an entry given its tile row: 0 = bbox center in the
+        # upper half of the tile, 1 = lower (clamped by the bool compare)
+        return ((sy - ty.astype(jnp.float32) * th) * 2.0 >= th).astype(
+            jnp.int32
+        )
 
     # ---- tile rectangles --------------------------------------------------
     on_screen = (hix > 0.0) & (lox < W) & (hiy > 0.0) & (loy < H)
@@ -108,7 +122,10 @@ def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx,
             & (iy < span_y[:, None, None])
             & (ix < span_x[:, None, None])
         )
-        keys = jnp.where(inside, ty * n_tx + tx, SENT).reshape(F * R)
+        tkey = ty * n_tx + tx
+        if NCLS == 2:
+            tkey = tkey * 2 + _cls(ty, suby[:, None, None])
+        keys = jnp.where(inside, tkey, SENT).reshape(F * R)
         fid = jax.lax.broadcasted_iota(jnp.int32, (F, R), 0).reshape(F * R)
         R_out, by = R, 0
         big_ids = None
@@ -136,7 +153,10 @@ def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx,
         inside_b = (
             use[:, None] & ~need_big[:, None] & (iyb < span_y[:, None])
         )
-        keys_b = jnp.where(inside_b, tyb * n_tx + tx0[:, None], SENT)
+        tkey_b = tyb * n_tx + tx0[:, None]
+        if NCLS == 2:
+            tkey_b = tkey_b * 2 + _cls(tyb, suby[:, None])
+        keys_b = jnp.where(inside_b, tkey_b, SENT)
 
         # big entries: full ry×rx window, gathered through padded tables
         def padg(a, v):
@@ -151,7 +171,13 @@ def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx,
         tyg = ty0g[:, None, None] + iy
         txg = tx0g[:, None, None] + ix
         inside_g = (iy < syg[:, None, None]) & (ix < sxg[:, None, None])
-        keys_g = jnp.where(inside_g, tyg * n_tx + txg, SENT)
+        tkey_g = tyg * n_tx + txg
+        if NCLS == 2:
+            subg = jnp.concatenate(
+                [suby, jnp.zeros((1,), suby.dtype)]
+            )[big_ids]
+            tkey_g = tkey_g * 2 + _cls(tyg, subg[:, None, None])
+        keys_g = jnp.where(inside_g, tkey_g, SENT)
 
         keys = jnp.concatenate(
             [keys_b.reshape(F * by), keys_g.reshape(big_k * ry * rx)]
@@ -171,10 +197,20 @@ def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx,
     Np = C * 128
     keys_c = jnp.pad(keys, (0, Np - N), constant_values=SENT).reshape(C, 128)
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K + 1), 2)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, SENT + 1), 2)
     hist = jnp.sum((keys_c[:, :, None] == cols).astype(jnp.float32), axis=1)
-    choff = jnp.cumsum(hist, axis=0) - hist  # exclusive over chunks [C, K+1]
-    totals = hist.sum(axis=0)  # [K+1]
+    choff = jnp.cumsum(hist, axis=0) - hist  # exclusive over chunks
+    totals = hist.sum(axis=0)  # [SENT+1]
+    if NCLS == 2:
+        # class-1 entries slot AFTER the tile's class-0 block: fold the
+        # per-key extra offset (count of the sibling even key) into choff
+        # so the slot matmuls below need no change.
+        ext = jnp.where(
+            jnp.arange(SENT + 1) % 2 == 1,
+            jnp.concatenate([jnp.zeros((1,), totals.dtype), totals[:-1]]),
+            0.0,
+        )
+        choff = choff + ext[None, :]
 
     # Per-entry slot = choff[c, key] + stable within-chunk rank, via
     # compare+matmul blocks (a [C,128]-row take_along_axis costs ~15 ms per
@@ -195,12 +231,13 @@ def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx,
     choff_b = jnp.pad(choff, ((0, Cp - C), (0, 0)))
     _, slots = jax.lax.scan(
         block, None,
-        (keys_b.reshape(-1, G, 128), choff_b.reshape(-1, G, K + 1)),
+        (keys_b.reshape(-1, G, 128), choff_b.reshape(-1, G, SENT + 1)),
     )
     slot = slots.reshape(Cp * 128)[:N].astype(jnp.int32)
 
     ok = (keys < SENT) & (slot < cap)
-    q = jnp.where(ok, keys * cap + slot, K * cap).astype(jnp.int32)
+    tile_of_key = keys // NCLS
+    q = jnp.where(ok, tile_of_key * cap + slot, K * cap).astype(jnp.int32)
 
     # ---- invert into per-tile lists (int scatter, unique, no gradient) ----
     idx = (
@@ -209,8 +246,12 @@ def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx,
         .set(fid, mode="drop", unique_indices=True)
         .reshape(K, cap)
     )
-    counts = jnp.minimum(totals[:K], cap).astype(jnp.int32)
-    overflow = rect_over | jnp.any(totals[:K] > cap)
+    if NCLS == 2:
+        tile_tot = totals[:SENT].reshape(K, 2).sum(-1)
+    else:
+        tile_tot = totals[:K]
+    counts = jnp.minimum(tile_tot, cap).astype(jnp.int32)
+    overflow = rect_over | jnp.any(tile_tot > cap)
 
     # ---- per-triangle transpose map [F, R_out] ----------------------------
     if big_ids is None:
@@ -232,7 +273,7 @@ def _bin_count_single(lox, loy, hix, hiy, valid, H, W, th, tw, cap, ry, rx,
     static_argnames=("H", "W", "tile_h", "tile_w", "cap", "ry", "rx", "big_k"),
 )
 def bin_count(
-    lox, loy, hix, hiy, valid,
+    lox, loy, hix, hiy, valid, suby=None,
     *, H: int, W: int, tile_h: int, tile_w: int, cap: int,
     ry: int = 4, rx: int = 2, big_k: int = 0,
 ) -> BinState:
@@ -242,14 +283,25 @@ def bin_count(
     big_k > 0 enables span-classed enumeration: small bboxes (≤ 2 tile rows
     × 1 column) get 2 entries, only up to big_k larger triangles get the
     full ry×rx window — ~4x fewer counting-sort/scatter entries at
-    production scale. q then has R = 2 + ry*rx columns."""
+    production scale. q then has R = 2 + ry*rx columns.
+
+    suby [..., F] (bbox center y, image px) enables row-sub-classed bins:
+    each bin lists its upper-half-of-tile triangles first, making record
+    chunks row-coherent so the kernels' 8-row sub-block guards fire (same
+    rasterized output — in-bin order is free)."""
     fn = partial(
         _bin_count_single, H=H, W=W, th=tile_h, tw=tile_w,
         cap=cap, ry=ry, rx=rx, big_k=big_k,
     )
+    if suby is None:
+        g = fn
+        for _ in valid.shape[:-1]:
+            g = jax.vmap(g)
+        return g(lox, loy, hix, hiy, valid)
+    g = lambda a, b, c, d, e, s: fn(a, b, c, d, e, suby=s)  # noqa: E731
     for _ in valid.shape[:-1]:
-        fn = jax.vmap(fn)
-    return fn(lox, loy, hix, hiy, valid)
+        g = jax.vmap(g)
+    return g(lox, loy, hix, hiy, valid, suby)
 
 
 # ---------------------------------------------------------------------------

@@ -175,8 +175,12 @@ def _fused_bins_and_fields(renderer, Tc_c2b, link_poses, K):
     ry = min(cfg.rect_y, n_ty) if cfg.rect_y else auto_ry
     rx = min(cfg.rect_x, n_tx) if cfg.rect_x else auto_rx
     m = cfg.margin
+    suby = (
+        0.5 * (loy + hiy)
+        if getattr(cfg, "bin_subsort_rows", False) else None
+    )
     state: BinState = bin_count(
-        lox - m, loy - m, hix + m, hiy + m, tris.valid,
+        lox - m, loy - m, hix + m, hiy + m, tris.valid, suby,
         H=H, W=W, tile_h=cfg.tile_h, tile_w=cfg.tile_w, cap=cfg.capacity,
         ry=ry, rx=rx, big_k=getattr(cfg, "bin_big_k", 0),
     )

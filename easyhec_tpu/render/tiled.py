@@ -66,6 +66,11 @@ class TileConfig(NamedTuple):
     #                      bboxes get 2 entries, up to bin_big_k large ones
     #                      get the full rect window (see binning.bin_count);
     #                      0 = dense ry*rx enumeration for every triangle
+    bin_subsort_rows: bool = False  # count binner: order each bin with
+    #                      upper-tile-half triangles first (composite key
+    #                      tile*2 + rowclass) so record chunks are
+    #                      row-coherent and the kernels' 8-row sub-block
+    #                      guards fire; identical rasterized output
     compact_chunks: int = 0  # >0: compact-chunk-grid loss path (fused only;
     #                      ops/pose_raster_compact.py) — records packed
     #                      contiguously into this static budget of

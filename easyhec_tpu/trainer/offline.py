@@ -83,6 +83,7 @@ def build_runtime(cfg: Config) -> Runtime:
         fused=cfg.render.fused,
         bwd_band_only=cfg.render.bwd_band_only,
         bin_big_k=cfg.render.bin_big_k,
+        bin_subsort_rows=cfg.render.bin_subsort_rows,
         compact_chunks=cfg.render.compact_chunks,
     )
     renderer = RobotRenderer(

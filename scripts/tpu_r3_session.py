@@ -36,8 +36,15 @@ from easyhec_tpu.robot import build_chain, load_link_meshes, parse_urdf
 from easyhec_tpu.robot.mesh import decimate_vertex_clustering
 from easyhec_tpu.solver.optim import make_optimizer
 
+import os as _os
+
 H, W, B = 480, 640, 10
-CAP, BIG_K, RY, RX = 1792, 2048, 5, 2
+TH = int(_os.environ.get("R3_TILE_H", "16"))
+TW = int(_os.environ.get("R3_TILE_W", "128"))
+CAP = int(_os.environ.get("R3_CAP", "1792"))
+BIG_K = int(_os.environ.get("R3_BIG_K", "2048"))
+RY = int(_os.environ.get("R3_RY", "5"))
+RX = int(_os.environ.get("R3_RX", "2"))
 
 
 def phase(name):
@@ -72,6 +79,9 @@ def scan_time(make_step, init, n=10, label=""):
 
 
 def build(compact_chunks=0, cap=CAP):
+    import os
+
+    subsort = bool(int(os.environ.get("R3_SUBSORT", "0")))
     urdf = pathlib.Path(
         "/root/reference/assets/xarm7_with_gripper_reduced_dof.urdf"
     )
@@ -81,9 +91,10 @@ def build(compact_chunks=0, cap=CAP):
     meshes = load_link_meshes(model, link_names=names)
     mesh_list = [decimate_vertex_clustering(meshes[n], 0.004) for n in names]
     tile = TileConfig(
-        16, 128, cap, True, binner="count", rect_y=RY, rect_x=RX,
+        TH, TW, cap, True, binner="count", rect_y=RY, rect_x=RX,
         margin=2.0, cull_backfaces=True, fused=True, bwd_band_only=True,
         bin_big_k=BIG_K, compact_chunks=compact_chunks,
+        bin_subsort_rows=subsort,
     )
     r = RobotRenderer(mesh_list, H, W, tile=tile)
     link_idx = jnp.asarray([chain.link_index(n) for n in names])
@@ -296,7 +307,21 @@ def main():
     x = jnp.ones((256, 256))
     print(float((x @ x).sum()), flush=True)
 
-    nc = int(os.environ.get("R3_NC", "184"))
+    nc_env = os.environ.get("R3_NC", "184")
+    if nc_env == "auto":
+        phase("auto-nc probe")
+        from easyhec_tpu.render.fused import build_compact_state
+
+        r, xi, lp, K = build(compact_chunks=768)
+        st = jax.jit(
+            lambda x: build_compact_state(r, se3.exp(x), lp, K, nc=768)
+        )(xi)
+        ncu = np.asarray(st.ncu)
+        ov = bool(np.asarray(st.overflow))
+        nc = (int(ncu.max()) * 13 // 10 // 8 + 1) * 8
+        print(f"ncu={ncu.tolist()} overflow={ov} -> nc={nc}", flush=True)
+    else:
+        nc = int(nc_env)
     if "p1" in phases:
         phase("P1 rebin attribution (cap 1792)")
         nc_holder = {}
@@ -316,6 +341,7 @@ def main():
 
         guarded(p2d)
 
+    if "p2" in phases or "p2c" in phases:
         phase("P2 step timings compact")
 
         def p2c():
@@ -333,6 +359,7 @@ def main():
 
         guarded(p3d)
 
+    if "p3" in phases or "p3c" in phases:
         phase("P3 mini bench compact")
 
         def p3c():

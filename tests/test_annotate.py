@@ -61,3 +61,48 @@ def test_prompts_undo_reset():
     p.add_point(2, 2, 0)
     p.reset()
     assert not p.points and not p.labels
+
+
+def test_annotation_session_incremental():
+    from easyhec_tpu.io.annotate import AnnotationSession
+
+    rgb, gt = _scene()
+    s = AnnotationSession(rgb)
+    assert s.stats()["area_px"] == 0
+    m1 = s.add_box(10, 10, 60, 50)
+    a1 = (m1 > 0.5).sum()
+    assert a1 > 0
+    # negative point punches the component, undo restores it
+    yx = np.argwhere(m1 > 0.5)[0]
+    m2 = s.add_point(int(yx[1]), int(yx[0]), 0)
+    assert (m2 > 0.5).sum() < a1
+    m3 = s.undo()
+    assert (m3 > 0.5).sum() == a1
+    s.reset()
+    assert s.stats()["area_px"] == 0 and s.stats()["n_prompts"] == 0
+    # preview renders without error and marks mask cells
+    s.add_box(10, 10, 60, 50)
+    prev = s.ascii_preview(width=32)
+    assert "#" in prev or "+" in prev
+
+
+def test_annotate_repl_scripted(tmp_path):
+    from easyhec_tpu.io.annotate import annotate_repl
+
+    rgb, gt = _scene()
+    cmds = iter([
+        "help", "box 10 10 60 50", "show", "bogus", "undo",
+        "box 10 10 60 50", "accept",
+    ])
+    log = []
+    mask = annotate_repl(
+        rgb, input_fn=lambda *_: next(cmds), echo=log.append,
+        overlay_path=str(tmp_path / "ov.png"),
+    )
+    assert mask is not None and (mask > 0.5).sum() > 0
+    assert (tmp_path / "ov.png").exists()
+    assert any("unknown command" in str(x) for x in log)
+
+    mask2 = annotate_repl(rgb, input_fn=lambda *_: next(iter(["skip"])),
+                          echo=lambda *_: None)
+    assert mask2 is None

@@ -201,3 +201,69 @@ class TestCompactLoss:
         )(se3.log(Tc))
         np.testing.assert_allclose(float(val), float(target.sum()), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+class TestRowSubsortedBins:
+    def test_loss_and_grad_match_unsorted(self):
+        # Row-sub-classed bin ordering is semantically free: identical loss,
+        # gradient equal up to summation-order roundoff.
+        Tc, lp, K = _poses()
+        base = _renderer(CFG_DENSE)
+        target = _target(base, Tc, lp, K)
+        xi = se3.log(Tc) + 0.01
+
+        def lg(r):
+            return jax.value_and_grad(
+                lambda d: jnp.mean(
+                    loss_fused(r, se3.exp(d), lp, K, masks_ref=target)
+                )
+            )(xi)
+
+        v0, g0 = lg(base)
+        for cfg in (
+            CFG_DENSE._replace(bin_subsort_rows=True),
+            CFG_COMPACT._replace(bin_subsort_rows=True),
+        ):
+            v1, g1 = lg(_renderer(cfg))
+            np.testing.assert_allclose(
+                np.asarray(v0), np.asarray(v1), rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(g0), np.asarray(g1), rtol=1e-3, atol=1e-6
+            )
+
+    def test_bins_are_row_classed(self):
+        # Within each bin, triangles whose bbox center lies in the upper
+        # half of the tile must form a contiguous prefix.
+        from easyhec_tpu.render.fused import _fused_bins_and_fields
+
+        Tc, lp, K = _poses()
+        r = _renderer(CFG_DENSE._replace(bin_subsort_rows=True))
+        st, _, _ = _fused_bins_and_fields(r, Tc, lp, K)
+        idx = np.asarray(st.idx)
+        counts = np.asarray(st.counts)
+        # recompute per-triangle bbox center rows (same pipeline inputs)
+        from easyhec_tpu.render.projection import setup_triangles_corners
+
+        Tcl = jnp.einsum("ij,bljk->blik", Tc, lp.reshape(-1, 2, 4, 4))
+        tris = setup_triangles_corners(
+            r.corners_rest, r.face_link_onehot, Tcl, K,
+            cull_backfaces=False,
+        )
+        loy = np.asarray(jnp.min(tris.v, axis=-2) - r.tile.margin)
+        hiy = np.asarray(jnp.max(tris.v, axis=-2) + r.tile.margin)
+        cy = 0.5 * (loy + hiy)
+        th = r.tile.tile_h
+        n_tx = -(-64 // r.tile.tile_w)
+        F = idx.shape[-1] and tris.valid.shape[-1]
+        checked = 0
+        for b in range(idx.shape[0]):
+            for t in range(idx.shape[1]):
+                ids = idx[b, t, : counts[b, t]]
+                if len(ids) < 2:
+                    continue
+                ty = t // n_tx
+                cls = ((cy[b, ids] - ty * th) * 2 >= th).astype(int)
+                assert (np.diff(cls) >= 0).all(), (b, t, cls)
+                checked += 1
+        assert checked > 0
