@@ -28,6 +28,11 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--val-fraction", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-dir", default=None,
+                    help="reference-format capture dir with REAL photos + "
+                    "masks: report the sim-to-real IoU after training")
+    ap.add_argument("--eval-overlays", default=None,
+                    help="with --eval-dir: write prediction overlays here")
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args(argv)
 
@@ -87,14 +92,48 @@ def main(argv=None) -> int:
         pred = seg.predict(rgb[i]) > 0.5
         ref = mask[i] > 0.5
         ious.append(float((pred & ref).sum() / max((pred | ref).sum(), 1)))
-    print(json.dumps({
+    report = {
         "train_frames": int(len(train_idx)),
         "val_frames": int(len(val_idx)),
         "final_loss": round(loss, 5),
         "val_iou_mean": round(float(np.mean(ious)), 4),
         "val_iou_min": round(float(np.min(ious)), 4),
         "weights": str(args.out),
-    }))
+    }
+
+    if args.eval_dir:
+        # Real-capture domain-gap check (the PointRend role is production
+        # masks on REAL RGB, reference easyhec/utils/pointrend_api.py:73-99
+        # — a synthetic-only validation can hide the sim-to-real gap):
+        # predict on a reference-format capture dir and score against its
+        # hand masks.
+        from ..data.dataset import load_calib_dataset
+
+        batch = load_calib_dataset(args.eval_dir, rt.chain, rt.link_names)
+        real = []
+        for i in range(batch.rgb.shape[0]):
+            pred = seg.predict(batch.rgb[i]) > 0.5
+            ref = batch.masks[i] > 0.5
+            real.append(
+                float((pred & ref).sum() / max((pred | ref).sum(), 1))
+            )
+        report["real_eval"] = {
+            "dir": str(args.eval_dir),
+            "per_frame_iou": [round(v, 4) for v in real],
+            "mean_iou": round(float(np.mean(real)), 4),
+        }
+        if args.eval_overlays:
+            from ..utils.imaging import save_image, vis_mask
+
+            out = Path(args.eval_overlays)
+            out.mkdir(parents=True, exist_ok=True)
+            for i in range(batch.rgb.shape[0]):
+                pred = (seg.predict(batch.rgb[i]) > 0.5).astype(np.float32)
+                save_image(
+                    out / f"real_{i:03d}.png",
+                    vis_mask(batch.rgb[i], pred, color=(0, 255, 0)),
+                )
+    print(json.dumps(report))
     return 0
 
 

@@ -1,16 +1,22 @@
-"""Round-3 TPU session A: rebin attribution + compact-chunk-grid timing.
+"""Consolidated TPU profiling CLI for the calibration hot path.
 
-ONE process, serial phases, incremental flushed prints (axon tunnel
-discipline: launch solo on an idle machine via
-  nohup python -u scripts/tpu_r3_session.py > /tmp/r3a.log 2>&1 &
+Replaces the round-1/2 one-off pile (tpu_session*.py, profile_r2*.py,
+profile_{rebin,kernel,step,tiles}.py, bench_pallas.py — all superseded;
+their results live in BASELINE.md). ONE process, serial phases,
+incremental flushed prints (axon tunnel discipline: probe first, launch
+solo on an idle machine via
+  nohup python -u scripts/tpu_profile.py > /tmp/prof.log 2>&1 &
 and never kill it mid-flight).
 
-Phases:
-  P0  warmup matmul (probe-equivalent)
-  P1  rebin attribution at cap 1792 (VERDICT item 6): setup / bin_count by
-      consumed output / pack gather / full dense state / full compact state
-  P2  per-step loss timings, dense vs compact (fwd, fwd+bwd+adam)
-  P3  mini bench loops (324 steps) dense vs compact -> pixels/s
+Environment knobs (all optional):
+  R3_PHASES   comma list of: p1 (rebin attribution), p2 (step timings
+              dense+compact), p2c (compact only), p3/p3c (324-step mini
+              bench), p4 (1000-step full-bench equivalent). Default all.
+  R3_TILE_H/R3_TILE_W/R3_CAP/R3_BIG_K/R3_RY/R3_RX  tile config sweep
+  R3_NC       compact chunk budget; "auto" probes sum(ceil(count/128))
+  R3_SUBSORT  1 = row-sub-classed bins
+  EASYHEC_BWD_REDUCE / EASYHEC_SUB_ROWS  kernel A/B switches (see
+              ops/pose_raster.py)
 Each phase is exception-guarded so a failure doesn't waste the session.
 """
 from __future__ import annotations
