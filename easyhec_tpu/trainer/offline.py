@@ -201,8 +201,18 @@ def run_offline_calibration(
             )
 
     mid_writer = MetricsWriter(out, tensorboard=False)
+    # Live observability: drop the self-contained dashboard next to the
+    # metrics stream (watch with `python -m easyhec_tpu.cli.watch <out>`;
+    # the reference's equivalent is TensorBoard, rbsolver.py:58-65).
+    from ..utils.live import write_dashboard
+
+    write_dashboard(out)
 
     def step_hook(done, state):
+        # live scalar stream (the per-step TB scalars role)
+        ls = state.get("losses")
+        if ls is not None and len(ls):
+            mid_writer.scalars(done, mask_loss=float(ls[-1]))
         # Periodic resumable checkpoint (reference try_to_save cadence,
         # base.py:442-455) ...
         if cfg.solver.save_freq and (

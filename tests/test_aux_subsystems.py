@@ -75,3 +75,43 @@ def test_ring_pose_dataset(mini_rig, tmp_path):
         P = np.loadtxt(tmp_path / "ring" / "pose" / f"{i:06d}.txt")
         c = -P[:3, :3].T @ P[:3, 3]
         assert 0.8 < np.linalg.norm(c[:2]) < 1.0  # on the ring radius
+
+
+def test_live_dashboard_and_server(tmp_path):
+    # live monitor (utils/live.py): dashboard file + stdlib server with the
+    # /api/ls endpoint — the reference's TB-during-training role.
+    import json as _json
+    import urllib.request
+
+    from easyhec_tpu.utils.live import write_dashboard, serve
+    from easyhec_tpu.utils.logging import MetricsWriter
+
+    run = tmp_path / "run"
+    w = MetricsWriter(run)
+    for s in range(5):
+        w.scalars(s, mask_loss=1.0 / (s + 1))
+    w.image(3, "panel", np.zeros((8, 8)))
+    w.close()
+    page = write_dashboard(run)
+    assert page.exists() and "metrics.jsonl" in page.read_text()
+
+    import socket
+
+    with socket.socket() as sck:
+        sck.bind(("127.0.0.1", 0))
+        port = sck.getsockname()[1]
+    srv = serve(run, port=port, background=True)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        html = urllib.request.urlopen(f"{base}/live.html", timeout=5).read()
+        assert b"easyhec_tpu live" in html
+        ls = _json.loads(
+            urllib.request.urlopen(f"{base}/api/ls", timeout=5).read()
+        )
+        assert any(f.startswith("panel_") for f in ls)
+        lines = urllib.request.urlopen(
+            f"{base}/metrics.jsonl", timeout=5
+        ).read().decode().strip().splitlines()
+        assert len(lines) == 5
+    finally:
+        srv.shutdown()
