@@ -106,6 +106,7 @@ def build_scene():
     rect_y = int(os.environ.get("BENCH_RECT_Y", {8: "9", 16: "5", 32: "3"}.get(th, "5")))
     rect_x = int(os.environ.get("BENCH_RECT_X", "3"))
     compact = int(os.environ.get("BENCH_COMPACT", "256"))
+    bwdc = int(os.environ.get("BENCH_BWD_CHUNKS", "0"))
     tile = TileConfig(
         th, tw, cap, True, binner="count", rect_y=rect_y, rect_x=rect_x,
         margin=2.0,
@@ -115,6 +116,7 @@ def build_scene():
         bin_big_k=big_k,  # span-classed binning: ~4x cheaper rebin scatter
         bin_subsort_rows=True,  # row-coherent bins for the sub-block guards
         compact_chunks=compact,  # compact-chunk-grid loss path
+        bwd_chunks=bwdc,  # boundary-prefix backward map (0 = full map)
     )
     renderer = RobotRenderer(mesh_list, H, W, tile=tile)
     link_idx = jnp.asarray([chain.link_index(n) for n in names])

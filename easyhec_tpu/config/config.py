@@ -65,6 +65,11 @@ class RenderConfig:
     #                     chunks; rebin gather + kernel grid scale with
     #                     occupancy instead of n_tiles*capacity (see
     #                     ops/pose_raster_compact.py). 0 = dense records
+    bwd_chunks: int = 0  # >0 (with compact_chunks + bwd_band_only): the
+    #                     backward runs on a reduced chunk map over
+    #                     boundary-band-capable tiles only, classified per
+    #                     rebin (render/fused.build_compact_state). Static
+    #                     chunk budget; overflow flags if exceeded
 
 
 @dataclass

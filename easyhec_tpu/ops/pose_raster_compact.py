@@ -60,7 +60,7 @@ from .pose_raster import (
     _tile_origin,
 )
 
-__all__ = ["pose_tile_loss_compact"]
+__all__ = ["pose_tile_loss_compact", "compact_tile_acc"]
 
 
 def _loss_fwd_kernel_compact(
@@ -139,9 +139,9 @@ def _loss_bwd_kernel_compact(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_pose_loss_compact(
+def _make_fwd_call(
     th: int, tw: int, sharpness: float, near: float, far: float,
-    n_tx: int, n_tiles: int, H: int, W: int, band_only: bool,
+    n_tx: int, n_tiles: int, H: int, W: int,
 ):
     interpret = not _on_tpu()
     compiler_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -194,6 +194,38 @@ def _make_pose_loss_compact(
             interpret=interpret,
         )(nlive, ctmap, ncu, cam, rec, ref_tiles)
         return loss4[..., 0, 0], acc
+
+    return fwd_call
+
+
+def compact_tile_acc(
+    cam, rec, nlive, ctmap, ncu, n_tiles, tile_h, tile_w, n_tx, H, W,
+    sharpness=1.0, near=0.001, far=10.0,
+):
+    """Tiled silhouette accumulation [B, n_tiles, th, tw] under the compact
+    chunk map (un-clipped union sums — the fwd kernel's acc residual). Used
+    by build_compact_state's boundary-prefix backward-map classification."""
+    fwd_call = _make_fwd_call(
+        int(tile_h), int(tile_w), float(sharpness), float(near), float(far),
+        int(n_tx), int(n_tiles), int(H), int(W),
+    )
+    B = nlive.shape[0]
+    zeros = jnp.zeros((B, n_tiles, tile_h, tile_w), jnp.float32)
+    _, acc = fwd_call(
+        cam, rec, nlive.astype(jnp.int32), ctmap.astype(jnp.int32),
+        ncu.astype(jnp.int32), zeros,
+    )
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pose_loss_compact(
+    th: int, tw: int, sharpness: float, near: float, far: float,
+    n_tx: int, n_tiles: int, H: int, W: int, band_only: bool,
+):
+    interpret = not _on_tpu()
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    fwd_call = _make_fwd_call(th, tw, sharpness, near, far, n_tx, n_tiles, H, W)
 
     def bwd_call(cam, rec, bwd_nlive, bwd_ctmap, bwd_cpos, ref_tiles, acc, gb):
         B, ncb = bwd_nlive.shape

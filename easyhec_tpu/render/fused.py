@@ -235,6 +235,7 @@ def build_compact_state(
     link_poses: jax.Array,
     K: jax.Array,
     nc: int | None = None,
+    sharpness: float = 1.0,
 ) -> CompactState:
     """Bin + pack COMPACT chunk-aligned records under the current pose.
 
@@ -242,6 +243,9 @@ def build_compact_state(
     overflow is flagged if sum(ceil(counts/128)) exceeds it. Gather cost,
     record memory and kernel grid all scale with nc·128 slots instead of
     n_tiles·cap (mean occupancy ~5% at honest caps — BASELINE.md r2).
+
+    sharpness must match the loss kernel's (band width enters the
+    boundary-prefix backward-map dilation when tile.bwd_chunks > 0).
     """
     from ..ops.pose_raster import CHUNK as CH
 
@@ -296,19 +300,88 @@ def build_compact_state(
     rec = jax.vmap(lambda f, i: jnp.take(f, i, axis=-1))(fpad, gidx)
 
     sg = jax.lax.stop_gradient
+    rec = sg(rec)
     nlive = sg(nlive.astype(jnp.int32))
     ctmap = sg(tile_of.astype(jnp.int32))
+    ncu_i = sg(ncu.astype(jnp.int32))
     cpos = jnp.broadcast_to(c0[None, :], (B, nc)).astype(jnp.int32)
+
+    # Boundary-prefix backward map (BASELINE.md round-3 roadmap item 2):
+    # with bwd_band_only the pose gradient flows only through pixels in the
+    # silhouette band (0 < acc < 1). Classify, at rebin time, the tiles
+    # that can hold such a pixel anywhere in the rebin window — the
+    # rebin-pose band/edge region dilated by (margin + band width), the
+    # same pose-drift contract the binning's bbox dilation assumes — and
+    # give the backward its own compact map over just those tiles. The
+    # forward's in-kernel zero-cotangent skip already saved the COMPUTE of
+    # interior/background tiles; this removes their grid steps and record
+    # DMA too. Sub-pixel slivers that sample no coverage at the rebin pose
+    # within the dilation radius are the only misses; their gradient is
+    # below sampling resolution by construction.
+    ncb = int(getattr(cfg, "bwd_chunks", 0))
+    bwd_nlive, bwd_ctmap, bwd_cpos = nlive, ctmap, sg(cpos)
+    if ncb > 0 and cfg.bwd_band_only:
+        import math
+
+        from ..ops.pose_raster_compact import compact_tile_acc
+        from .tiled import _untile
+
+        th, tw = cfg.tile_h, cfg.tile_w
+        H, W = renderer.H, renderer.W
+        n_tx = -(-W // tw)
+        # stop_gradient: the classification pass is not differentiated (a
+        # traced-cam input would JVP-trace the pallas_call itself).
+        cam = jax.lax.stop_gradient(cam_rows(Tc_c2b, K, B))
+        acc = compact_tile_acc(
+            cam, rec, nlive, ctmap, ncu_i, T, th, tw, n_tx, H, W,
+            sharpness=sharpness,
+        )
+        img = sg(_untile(acc, H, W, cfg))  # [B, H, W] un-clipped union sums
+        D = int(math.ceil(cfg.margin + 0.5 / max(sharpness, 1e-6))) + 1
+        kwin = 2 * D + 1
+
+        def dil(m):
+            return jax.lax.reduce_window(
+                m.astype(jnp.float32), 0.0, jax.lax.max,
+                (1, kwin, kwin), (1, 1, 1), "SAME",
+            )
+
+        relevant = (dil(img > 0) > 0) & (dil(img < 1) > 0)
+        rel_tiles = tile_image(relevant.astype(jnp.float32), th, tw)
+        band_tile = jnp.max(rel_tiles, axis=(-2, -1)) > 0  # [B, T]
+
+        cpt_b = jnp.where(band_tile, cpt, 0)
+        ends_b = jnp.cumsum(cpt_b, axis=-1)
+        ncu_b = ends_b[:, -1]
+        overflow = overflow | jnp.any(ncu_b > ncb)
+        c0b = jnp.arange(ncb, dtype=jnp.int32)
+        tob = jax.vmap(
+            lambda e: jnp.searchsorted(e, c0b, side="right")
+        )(ends_b).astype(jnp.int32)
+        is_real_b = c0b[None, :] < ncu_b[:, None]
+        tob = jnp.where(is_real_b, jnp.minimum(tob, T - 1), 0)
+        starts_b = ends_b - cpt_b
+        koff_b = c0b[None, :] - jnp.take_along_axis(starts_b, tob, axis=-1)
+        cnt_gb = jnp.take_along_axis(counts, tob, axis=-1)
+        nlive_b = jnp.where(
+            is_real_b, jnp.clip(cnt_gb - koff_b * CH, 0, CH), 0
+        )
+        fstart = jnp.take_along_axis(starts, tob, axis=-1)
+        cpos_b = jnp.clip(jnp.where(is_real_b, fstart + koff_b, 0), 0, nc - 1)
+        bwd_nlive = sg(nlive_b.astype(jnp.int32))
+        bwd_ctmap = sg(tob.astype(jnp.int32))
+        bwd_cpos = sg(cpos_b.astype(jnp.int32))
+
     return CompactState(
-        rec=sg(rec),
+        rec=rec,
         nlive=nlive,
         ctmap=ctmap,
-        ncu=sg(ncu.astype(jnp.int32)),
+        ncu=ncu_i,
         counts=sg(counts),
         overflow=sg(overflow),
-        bwd_nlive=nlive,
-        bwd_ctmap=ctmap,
-        bwd_cpos=sg(cpos),
+        bwd_nlive=bwd_nlive,
+        bwd_ctmap=bwd_ctmap,
+        bwd_cpos=bwd_cpos,
     )
 
 

@@ -78,6 +78,18 @@ class TileConfig(NamedTuple):
     #                      tiles must fit or overflow flags); memory, DMA
     #                      and grid work scale with occupancy, not
     #                      n_tiles*capacity. 0 = dense per-tile records
+    bwd_chunks: int = 0  # >0 (compact + bwd_band_only only): the backward
+    #                      runs on its OWN chunk map covering just the
+    #                      tiles that can hold silhouette-BAND pixels
+    #                      anywhere in the rebin window (classified at
+    #                      rebin time from the rebin-pose accumulation,
+    #                      dilated by margin + band width — the same
+    #                      drift contract the binning itself assumes).
+    #                      Interior/background tiles leave the backward's
+    #                      grid and DMA entirely (the in-kernel
+    #                      zero-cotangent skip only saved their compute).
+    #                      Static budget of 128-slot chunks; overflow
+    #                      flags if exceeded. 0 = backward map == forward
 
 
 def _cdiv(a: int, b: int) -> int:

@@ -85,6 +85,7 @@ def build_runtime(cfg: Config) -> Runtime:
         bin_big_k=cfg.render.bin_big_k,
         bin_subsort_rows=cfg.render.bin_subsort_rows,
         compact_chunks=cfg.render.compact_chunks,
+        bwd_chunks=cfg.render.bwd_chunks,
     )
     renderer = RobotRenderer(
         meshes, cfg.model.H, cfg.model.W, tile=tile, mode=cfg.render.mode

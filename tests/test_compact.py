@@ -203,6 +203,107 @@ class TestCompactLoss:
         np.testing.assert_array_equal(np.asarray(g), 0.0)
 
 
+class TestBoundaryPrefixBackward:
+    """bwd_chunks > 0: the backward runs on its own reduced chunk map over
+    band-capable tiles only (BASELINE.md round-3 roadmap item 2). Must be
+    gradient-identical to the full-map compact path under bwd_band_only."""
+
+    CFG = CFG_COMPACT._replace(bwd_band_only=True, bwd_chunks=12)
+
+    def test_map_is_reduced_and_consistent(self):
+        Tc, lp, K = _poses()
+        r = _renderer(self.CFG)
+        st = build_compact_state(r, Tc, lp, K)
+        assert not bool(np.asarray(st.overflow))
+        assert st.bwd_nlive.shape == (lp.shape[0], 12)
+        # every backward chunk's cpos points at a forward chunk of the SAME
+        # tile with the SAME live count
+        nl, ct, cp = (np.asarray(a) for a in (st.bwd_nlive, st.bwd_ctmap, st.bwd_cpos))
+        fnl, fct = np.asarray(st.nlive), np.asarray(st.ctmap)
+        for b in range(nl.shape[0]):
+            for c in range(nl.shape[1]):
+                if nl[b, c] == 0:
+                    continue
+                assert fct[b, cp[b, c]] == ct[b, c]
+                assert fnl[b, cp[b, c]] == nl[b, c]
+        # the map covers no more chunks than the forward
+        assert (nl > 0).sum() <= (fnl > 0).sum()
+
+    def test_gradient_matches_full_map(self):
+        Tc, lp, K = _poses()
+        r_full = _renderer(CFG_COMPACT._replace(bwd_band_only=True))
+        r_red = _renderer(self.CFG)
+        target = _target(_renderer(CFG_DENSE), Tc, lp, K)
+        xi = se3.log(Tc) + 0.01
+
+        def lg(r):
+            return jax.value_and_grad(
+                lambda d: jnp.mean(
+                    loss_fused(r, se3.exp(d), lp, K, masks_ref=target)
+                )
+            )(xi)
+
+        v0, g0 = lg(r_full)
+        v1, g1 = lg(r_red)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+        assert np.abs(np.asarray(g0)).max() > 0
+        np.testing.assert_allclose(
+            np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-7
+        )
+
+    def test_gradient_matches_dense_band_only(self):
+        # end-to-end: reduced-map compact vs the dense fused path
+        Tc, lp, K = _poses()
+        rd = _renderer(CFG_DENSE._replace(bwd_band_only=True))
+        rr = _renderer(self.CFG)
+        target = _target(rd, Tc, lp, K)
+        xi = se3.log(Tc) + 0.01
+
+        def lg(r):
+            return jax.value_and_grad(
+                lambda d: jnp.mean(
+                    loss_fused(r, se3.exp(d), lp, K, masks_ref=target)
+                )
+            )(xi)
+
+        v0, g0 = lg(rd)
+        v1, g1 = lg(rr)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-6
+        )
+
+    def test_budget_overflow_flags(self):
+        Tc, lp, K = _poses()
+        r = _renderer(self.CFG._replace(bwd_chunks=1))
+        st = build_compact_state(r, Tc, lp, K)
+        assert bool(np.asarray(st.overflow))
+
+    def test_requires_band_only(self):
+        # without bwd_band_only the reduced map is not built (full-pixel
+        # cotangents need every chunk): backward map == forward map
+        Tc, lp, K = _poses()
+        r = _renderer(CFG_COMPACT._replace(bwd_chunks=12))
+        st = build_compact_state(r, Tc, lp, K)
+        np.testing.assert_array_equal(
+            np.asarray(st.bwd_nlive), np.asarray(st.nlive)
+        )
+
+    def test_offscreen_frame_zero_grad(self):
+        _, lp, K = _poses(B=1)
+        Tc = se3.exp(jnp.asarray([0.0, 0.0, -3.0, 0.0, 0.0, 0.0]))
+        r = _renderer(self.CFG)
+        target = np.zeros((1, 64, 64), np.float32)
+        st = build_compact_state(r, Tc, lp[0:1], K)
+        g = jax.grad(
+            lambda d: jnp.mean(
+                loss_fused(r, se3.exp(d), lp[0:1], K, masks_ref=target,
+                           state=st)
+            )
+        )(se3.log(Tc))
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
 class TestRowSubsortedBins:
     def test_loss_and_grad_match_unsorted(self):
         # Row-sub-classed bin ordering is semantically free: identical loss,
