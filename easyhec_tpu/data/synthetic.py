@@ -126,6 +126,7 @@ def generate_dataset(
         "qpos": qpos_np,
         "rgb": rgb,
         "depth": np.asarray(depth),
+        "link_id": np.asarray(link_id),
     }
 
 
