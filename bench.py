@@ -90,7 +90,14 @@ def build_scene():
         meshes = load_link_meshes(model, link_names=names)
         mesh_list = [meshes[n] for n in names]
 
-    H, W = 480, 640
+    # Resolution override for the per-resolution ledger rows (BASELINE.md):
+    # the focal length scales with W so the framing (and thus occupancy
+    # structure) stays comparable across resolutions. Defaults = BASELINE
+    # config (2). Budgets for non-default resolutions come from
+    # scripts/bin_audit.py at the target H/W (the run asserts overflow, so
+    # an under-budgeted sweep fails loudly rather than inflating numbers).
+    H = int(os.environ.get("BENCH_H", "480"))
+    W = int(os.environ.get("BENCH_W", "640"))
     # Winning round-3 config (BASELINE.md ledger): 16x32 tiles + the
     # compact-chunk grid. Small tile AREA is the big lever — coverage work
     # is (tile pixels x chunk lanes) per chunk, mostly waste for sub-pixel
@@ -133,7 +140,8 @@ def run_bench() -> dict:
 
     chain, renderer, link_idx, H, W = build_scene()
     B = 10
-    K = jnp.asarray([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]])
+    f = 600.0 * W / 640.0
+    K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
     Tcam = camera.look_at(
         jnp.asarray([1.0, 0.7, 0.8]), jnp.asarray([0.0, 0.0, 0.3]), jnp.asarray([0.0, 0.0, 1.0])
     )

@@ -24,7 +24,21 @@ from ..geometry import se3
 from ..render.renderer import RobotRenderer
 from ..solver.optim import make_optimizer
 
-__all__ = ["CalibResult", "mask_loss", "pose_metrics", "calibrate", "render_outputs"]
+__all__ = [
+    "BinOverflowError",
+    "CalibResult",
+    "mask_loss",
+    "pose_metrics",
+    "calibrate",
+    "render_outputs",
+]
+
+
+class BinOverflowError(RuntimeError):
+    """A rasterizer tile bin (or compact-chunk budget) saturated during the
+    optimization trajectory: triangles were dropped and the gradient is
+    silently truncated. Raise render.capacity / compact_chunks /
+    bwd_chunks / rect_y/rect_x, or increase model.decimate_voxel."""
 
 
 @dataclass
@@ -36,6 +50,7 @@ class CalibResult:
     losses: np.ndarray  # [num_steps]
     history: np.ndarray  # [num_steps, 6] pose per step (explorer input)
     metrics: dict[str, float]  # vs GT when available, else {}
+    overflow: bool = False  # any bin overflow seen at any rebin of the run
 
 
 def _use_fused_loss(renderer: RobotRenderer) -> bool:
@@ -230,11 +245,17 @@ def _calibrate_chunk(
         )
 
     def bin_state_of(d):
-        return renderer.bin_state(se3.exp(d), link_poses, K)
+        return renderer.bin_state(
+            se3.exp(d), link_poses, K, sharpness=sharpness
+        )
 
+    # Renderers with reusable bin states always go through the explicit
+    # bin_state path (even at rebin_every=1) so the per-rebin overflow flag
+    # is threaded out of the scan; 0 = no bin state (brute/XLA paths, where
+    # the trainer's initial-pose pre-check is the only guard).
     return opt_scan(
         dof, opt_state, opt, loss_of, bin_state_of, chunk,
-        rebin_every if reuse_bins_ok(renderer) else 1,
+        max(1, rebin_every) if reuse_bins_ok(renderer) else 0,
     )
 
 
@@ -254,7 +275,12 @@ def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
     rebinning. loss_of(dof, bin_state) -> scalar; bin_state_of(dof) ->
     renderer bin state. Used identically by the single-chip path and (under
     shard_map) the sharded path — one optimizer, no fork. Returns
-    (dof, opt_state, losses [chunk], history [chunk, 6]).
+    (dof, opt_state, losses [chunk], history [chunk, 6], overflow) where
+    overflow = any bin-state overflow flag over the chunk's rebins (drift
+    changes bin loads, so the flag is checked at EVERY rebin of the
+    trajectory, not just the initial pose). rebin_every < 1 disables bin
+    states entirely (overflow reported False — callers must guard
+    otherwise).
 
     combine: sharded-path hook. When set, loss_of must return
     (local_objective, local_true_loss) and combine(true_loss, grad) ->
@@ -290,11 +316,11 @@ def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
 
         return step
 
-    if rebin_every <= 1:
+    if rebin_every < 1:
         (dof, opt_state), (losses, history) = jax.lax.scan(
             make_step(None), (dof, opt_state), None, length=chunk
         )
-        return dof, opt_state, losses, history
+        return dof, opt_state, losses, history, jnp.zeros((), bool)
 
     inner = min(rebin_every, chunk)
     n_outer = -(-chunk // inner)
@@ -302,14 +328,17 @@ def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
     def outer(carry, _):
         dof, opt_state = carry
         state = bin_state_of(dof)
-        return jax.lax.scan(make_step(state), (dof, opt_state), None, length=inner)
+        carry, ys = jax.lax.scan(
+            make_step(state), (dof, opt_state), None, length=inner
+        )
+        return carry, (ys, jnp.any(state.overflow))
 
-    (dof, opt_state), (losses, history) = jax.lax.scan(
+    (dof, opt_state), ((losses, history), ovs) = jax.lax.scan(
         outer, (dof, opt_state), None, length=n_outer
     )
     losses = losses.reshape(-1)[:chunk]
     history = history.reshape(-1, history.shape[-1])[:chunk]
-    return dof, opt_state, losses, history
+    return dof, opt_state, losses, history, jnp.any(ovs)
 
 
 def _calibrate_scan(
@@ -329,6 +358,7 @@ def _calibrate_scan(
     rebin_every: int = 1,
     resume_state: dict | None = None,
     step_hook=None,
+    on_overflow: str = "raise",
 ):
     opt = make_optimizer(
         optimizer_name,
@@ -353,9 +383,10 @@ def _calibrate_scan(
         if done:
             losses.append(jnp.asarray(resume_state["losses"]))
             history.append(jnp.asarray(resume_state["history"]))
+    overflowed = False
     while done < num_steps:
         n = min(chunk, num_steps - done)
-        dof, opt_state, l, h = _calibrate_chunk(
+        dof, opt_state, l, h, ov = _calibrate_chunk(
             dof,
             opt_state,
             link_poses,
@@ -375,6 +406,19 @@ def _calibrate_scan(
         losses.append(l)
         history.append(h)
         done += n
+        if on_overflow != "ignore" and bool(np.asarray(ov)):
+            overflowed = True
+            msg = (
+                f"rasterizer bin overflow at step ~{done}: triangles were "
+                "dropped and the pose gradient is truncated. Raise "
+                "render.capacity / compact_chunks / bwd_chunks, widen "
+                "rect_y/rect_x, or increase model.decimate_voxel."
+            )
+            if on_overflow == "raise":
+                raise BinOverflowError(msg)
+            import logging
+
+            logging.getLogger("easyhec_tpu").warning(msg)
         if step_hook is not None:
             state = {"dof": np.asarray(dof), "step": done}
             for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
@@ -382,7 +426,7 @@ def _calibrate_scan(
             state["losses"] = np.asarray(jnp.concatenate(losses))
             state["history"] = np.asarray(jnp.concatenate(history))
             step_hook(done, state)
-    return dof, jnp.concatenate(losses), jnp.concatenate(history)
+    return dof, jnp.concatenate(losses), jnp.concatenate(history), overflowed
 
 
 def calibrate(
@@ -402,6 +446,7 @@ def calibrate(
     Tc_c2b_gt: np.ndarray | None = None,
     resume_state: dict | None = None,
     step_hook=None,
+    on_overflow: str = "raise",
 ) -> CalibResult:
     """Run the full mask-loss pose optimization as one compiled program.
 
@@ -410,8 +455,13 @@ def calibrate(
     (reference resume convention, trainer/base.py:420-440). step_hook(done,
     state) fires after every dispatch chunk with the full resumable state —
     trainers use it for periodic checkpoints and mid-run image panels.
+
+    on_overflow: "raise" (default) raises BinOverflowError as soon as any
+    rebin of the trajectory saturates a bin (silent truncation = wrong
+    gradients — the r2 honesty-audit failure mode); "warn" logs and
+    continues; "ignore" skips the per-chunk host sync entirely.
     """
-    dof, losses, history = _calibrate_scan(
+    dof, losses, history, overflowed = _calibrate_scan(
         jnp.asarray(init_dof, jnp.float32),
         jnp.asarray(link_poses, jnp.float32),
         jnp.asarray(K, jnp.float32),
@@ -427,6 +477,7 @@ def calibrate(
         rebin_every=int(rebin_every),
         resume_state=resume_state,
         step_hook=step_hook,
+        on_overflow=on_overflow,
     )
     dof_np = np.asarray(dof)
     metrics = (
@@ -440,6 +491,7 @@ def calibrate(
         losses=np.asarray(losses),
         history=np.asarray(history),
         metrics=metrics,
+        overflow=overflowed,
     )
 
 

@@ -136,6 +136,7 @@ def sharded_calibrate(
     rebin_every: int = 1,
     chunk: int = 50,
     frame_chunk: int = 0,
+    on_overflow: str = "raise",
 ):
     """Multi-chip calibrate(): the SAME optimizer machinery as the
     single-chip path (models.calib.opt_scan — fused loss kernel, amortized
@@ -196,8 +197,13 @@ def sharded_calibrate(
         optimizer, max_lr=max_lr, total_steps=num_steps,
         scheduler=scheduler, grad_clip=grad_clip,
     )
+    # Explicit bin states whenever the renderer supports them (threads the
+    # per-rebin overflow flag out of the scan); 0 = no bin state (the
+    # frame-chunked remat path rebuilds bins inside each block).
     eff_rebin = (
-        rebin_every if reuse_bins_ok(renderer) and frame_chunk <= 0 else 1
+        max(1, rebin_every)
+        if reuse_bins_ok(renderer) and frame_chunk <= 0
+        else 0
     )
 
     def chunk_fn(n):
@@ -206,7 +212,7 @@ def sharded_calibrate(
             jax.shard_map,
             mesh=mesh,
             in_specs=(P(), P(), P("data"), P(), P("data", "tile"), P("data")),
-            out_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
             check_vma=False,  # pallas_call out_shapes carry no vma info
         )
         def run(dof, opt_state, lp, K, mb, w):
@@ -287,12 +293,20 @@ def sharded_calibrate(
                 return loss, gsum
 
             def bin_state_of(d):
-                return renderer.bin_state(se3.exp(d), lp, Kb)
+                return renderer.bin_state(
+                    se3.exp(d), lp, Kb, sharpness=sharpness
+                )
 
-            return opt_scan(
+            dof, opt_state, losses, history, ov = opt_scan(
                 dof, opt_state, opt, loss_of, bin_state_of, n, eff_rebin,
                 combine=combine,
             )
+            # Any shard overflowing truncates the psum'd gradient — reduce
+            # the flag across the whole mesh (forward-only).
+            ov = (
+                jax.lax.psum(ov.astype(jnp.float32), ("data", "tile")) > 0
+            )
+            return dof, opt_state, losses, history, ov
 
         return run
 
@@ -308,8 +322,21 @@ def sharded_calibrate(
         else:
             for_last = for_last or chunk_fn(n)
             fn = for_last
-        dof, opt_state, l, h = fn(dof, opt_state, lp, Kj, masks_bands, wj)
+        dof, opt_state, l, h, ov = fn(dof, opt_state, lp, Kj, masks_bands, wj)
         losses.append(l)
         history.append(h)
         done += n
+        if on_overflow != "ignore" and bool(np.asarray(ov)):
+            from ..models.calib import BinOverflowError
+
+            msg = (
+                f"sharded calibrate: bin overflow at step ~{done} on some "
+                "shard — raise render.capacity / compact_chunks or "
+                "decimate more"
+            )
+            if on_overflow == "raise":
+                raise BinOverflowError(msg)
+            import logging
+
+            logging.getLogger("easyhec_tpu").warning(msg)
     return dof, jnp.concatenate(losses), jnp.concatenate(history)

@@ -336,6 +336,11 @@ def build_compact_state(
             cam, rec, nlive, ctmap, ncu_i, T, th, tw, n_tx, H, W,
             sharpness=sharpness,
         )
+        # Output blocks of tiles no chunk maps to are never written by the
+        # kernel grid (undefined memory on TPU; interpret mode zeroes them).
+        # Unvisited tiles render exactly 0, so mask by counts before the
+        # band thresholding reads them.
+        acc = jnp.where((counts > 0)[:, :, None, None], acc, 0.0)
         img = sg(_untile(acc, H, W, cfg))  # [B, H, W] un-clipped union sums
         D = int(math.ceil(cfg.margin + 0.5 / max(sharpness, 1e-6))) + 1
         kwin = 2 * D + 1
@@ -453,7 +458,9 @@ def loss_fused(
         B *= s
     if state is None:
         if int(getattr(cfg, "compact_chunks", 0)) > 0:
-            state = build_compact_state(renderer, Tc_c2b, link_poses, K)
+            state = build_compact_state(
+                renderer, Tc_c2b, link_poses, K, sharpness=sharpness
+            )
         else:
             state = build_fused_state(renderer, Tc_c2b, link_poses, K)
     cam = cam_rows(Tc_c2b, K, B)

@@ -163,19 +163,30 @@ class RobotRenderer:
             tris = self._triangles(Tc_c2l, K)
         return silhouette_tiled(tris, self.H, self.W, self.tile, sharpness)
 
-    def bin_state(self, Tc_c2b: jax.Array, link_poses: jax.Array, K: jax.Array):
+    def bin_state(
+        self,
+        Tc_c2b: jax.Array,
+        link_poses: jax.Array,
+        K: jax.Array,
+        sharpness: float = 1.0,
+    ):
         """Compute the counting-binner state for the current pose (count
         binner only). Leaves carry the FLATTENED frame batch; feed back via
         silhouette(..., bin_state=...) while the pose stays within
         tile.margin pixels of where the state was computed. With
-        tile.fused=True, returns a FusedState (records + bins)."""
+        tile.fused=True, returns a FusedState (records + bins).
+
+        sharpness must match the loss kernel's when tile.bwd_chunks > 0 (it
+        sizes the boundary-prefix backward-map band dilation)."""
         from .binning import fields_and_bins
 
         if self.tile.fused and self.mode != "brute" and self.tile.use_pallas:
             if int(getattr(self.tile, "compact_chunks", 0)) > 0:
                 from .fused import build_compact_state
 
-                return build_compact_state(self, Tc_c2b, link_poses, K)
+                return build_compact_state(
+                    self, Tc_c2b, link_poses, K, sharpness=sharpness
+                )
             from .fused import build_fused_state
 
             return build_fused_state(self, Tc_c2b, link_poses, K)

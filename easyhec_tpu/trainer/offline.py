@@ -16,7 +16,13 @@ import numpy as np
 
 from ..config.config import Config, save_config
 from ..data.dataset import CalibBatch, load_calib_dataset
-from ..models.calib import CalibResult, calibrate, pose_metrics, render_outputs
+from ..models.calib import (
+    BinOverflowError,
+    CalibResult,
+    calibrate,
+    pose_metrics,
+    render_outputs,
+)
 from ..render.renderer import RobotRenderer
 from ..render.tiled import TileConfig
 from ..robot import build_chain, load_link_meshes, load_mesh, parse_urdf
@@ -234,24 +240,46 @@ def run_offline_calibration(
                 logger.debug("mid-run panel skipped: %s", e)
 
     t0 = time.time()
-    result = calibrate(
-        init_dof,
-        rt.renderer,
-        batch.link_poses,
-        batch.K,
-        batch.masks,
-        num_steps=cfg.solver.num_epochs,
-        max_lr=cfg.solver.max_lr,
-        optimizer=cfg.solver.optimizer,
-        scheduler=cfg.solver.scheduler,
-        grad_clip=cfg.solver.grad_clip,
-        sharpness=cfg.render.sharpness,
-        robust_delta=cfg.solver.robust_delta,
-        rebin_every=cfg.solver.rebin_every,
-        Tc_c2b_gt=batch.Tc_c2b_gt if batch.has_gt else None,
-        resume_state=resume_state,
-        step_hook=step_hook,
-    )
+    # Overflow is asserted at EVERY rebin of the trajectory (threaded out of
+    # the optimizer scans — models/calib.opt_scan); on overflow the bin
+    # budgets escalate 2x and the run restarts, up to 3 attempts. Silent
+    # truncation (the pre-r3 one-shot warning) is no longer possible on
+    # this path.
+    for attempt in range(3):
+        try:
+            result = calibrate(
+                init_dof,
+                rt.renderer,
+                batch.link_poses,
+                batch.K,
+                batch.masks,
+                num_steps=cfg.solver.num_epochs,
+                max_lr=cfg.solver.max_lr,
+                optimizer=cfg.solver.optimizer,
+                scheduler=cfg.solver.scheduler,
+                grad_clip=cfg.solver.grad_clip,
+                sharpness=cfg.render.sharpness,
+                robust_delta=cfg.solver.robust_delta,
+                rebin_every=cfg.solver.rebin_every,
+                Tc_c2b_gt=batch.Tc_c2b_gt if batch.has_gt else None,
+                resume_state=resume_state,
+                step_hook=step_hook,
+            )
+            break
+        except BinOverflowError as e:
+            if resume_state is not None or attempt == 2:
+                raise
+            r = cfg.render
+            r.capacity = -(-r.capacity * 2 // 128) * 128
+            if r.compact_chunks > 0:
+                r.compact_chunks *= 2
+            if r.bwd_chunks > 0:
+                r.bwd_chunks *= 2
+            logger.warning(
+                "%s — escalating to capacity=%d compact_chunks=%d and "
+                "restarting", e, r.capacity, r.compact_chunks,
+            )
+            rt = build_runtime(cfg)
     mid_writer.close()
     dt = time.time() - t0
     logger.info(

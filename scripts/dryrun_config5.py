@@ -39,6 +39,71 @@ from easyhec_tpu.robot.mesh import decimate_vertex_clustering
 REFERENCE_ASSETS = pathlib.Path("/root/reference/assets")
 
 
+def compact_mesh_stage(chain, mesh_list, link_idx) -> dict:
+    """Certify the PRODUCTION compact-chunk fused kernels under the sharded
+    mesh with the real xArm7 geometry (reduced resolution — Pallas interpret
+    mode on CPU is a Python loop, unusable at full 1080p scale; the full
+    scale runs below on the vectorized XLA path, and the same compact
+    program shapes run at full scale on the real chip in bench.py)."""
+    Hc, Wc, n_tile = 128, 192, 2
+    band_h = Hc // n_tile
+    # Budgets from scripts/bin_audit.py at 128x192 f=160 (max load 4220 —
+    # the full-detail arm concentrates in few tiles at this resolution;
+    # big-span 2105, chunks 121, max span 2x2). Overflow is asserted by
+    # sharded_calibrate at every rebin.
+    tile = TileConfig(
+        16, 32, 5376, True, binner="count", margin=2.0, cull_backfaces=True,
+        fused=True, bwd_band_only=True, bin_big_k=2816,
+        bin_subsort_rows=True, compact_chunks=176, bwd_chunks=176,
+    )
+    band = RobotRenderer(mesh_list, band_h, Wc, tile=tile)
+    K = np.asarray(
+        [[160.0, 0, Wc / 2], [0, 160.0, Hc / 2], [0, 0, 1]], np.float32
+    )
+    Tcam = camera.look_at(
+        jnp.asarray([1.0, 0.7, 0.8]),
+        jnp.asarray([0.0, 0.0, 0.3]),
+        jnp.asarray([0.0, 0.0, 1.0]),
+    )
+    gt_dof = se3.log(se3.inverse(Tcam))
+    B = 4
+    lo = jnp.asarray(chain.joint_limits[:, 0] * 0.4)
+    hi = jnp.asarray(chain.joint_limits[:, 1] * 0.4)
+    qs = jax.random.uniform(
+        jax.random.PRNGKey(1), (B, chain.n_dof), minval=lo, maxval=hi
+    )
+    lp = jax.vmap(chain.fk)(qs)[:, link_idx]
+    mesh = make_mesh(4, n_tile)
+    from easyhec_tpu.parallel.sharding import sharded_silhouette
+
+    render = sharded_silhouette(band, mesh, band_h)
+    masks = np.asarray(
+        jax.jit(lambda d: render(se3.exp(d), lp, jnp.asarray(K)))(gt_dof)
+    )
+    init = np.asarray(gt_dof) + np.asarray(
+        [0.01, -0.01, 0.01, 0.005, -0.005, 0.01], np.float32
+    )
+    t0 = time.time()
+    dof, losses, _ = sharded_calibrate(
+        init, band, mesh, np.asarray(lp), K, masks,
+        num_steps=2, max_lr=3e-3, chunk=2, rebin_every=2,
+    )
+    jax.block_until_ready(dof)
+    losses = np.asarray(losses)
+    ok = bool(np.isfinite(losses).all() and losses[-1] <= losses[0])
+    return {
+        "kernel_backend": (
+            "Pallas compact-chunk fused (interpret), band-only backward + "
+            "boundary-prefix bwd map, overflow-asserted"
+        ),
+        "resolution": f"{Hc}x{Wc}",
+        "mesh": "4 data x 2 tile",
+        "losses": [round(float(x), 2) for x in losses],
+        "wall_s": round(time.time() - t0, 1),
+        "ok": ok,
+    }
+
+
 def main() -> int:
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     H, W = 1080, 1920
@@ -93,6 +158,11 @@ def main() -> int:
     # with offs' in base frame; for a dryrun the exact rig algebra is not
     # the point: the workload shape (80 x 1080p x sharded) is.
 
+    # Stage 0: the production compact-chunk kernels under the same mesh
+    # (reduced resolution; see compact_mesh_stage docstring).
+    compact_rep = compact_mesh_stage(chain, mesh_list, link_idx)
+    print("compact stage:", json.dumps(compact_rep), flush=True)
+
     t0 = time.time()
     # GT masks via the SHARDED band renderer (8 virtual devices) — the
     # unsharded full-height CPU render alone takes ~7 min.
@@ -121,9 +191,14 @@ def main() -> int:
     jax.block_until_ready(dof)
     t_opt = time.time() - t0
     losses = np.asarray(losses)
-    ok = bool(np.isfinite(losses).all() and losses[-1] <= losses[0])
+    ok = bool(
+        np.isfinite(losses).all()
+        and losses[-1] <= losses[0]
+        and compact_rep["ok"]
+    )
     out = {
         "config": "BASELINE config (5): 4 views x 20 frames @ 1920x1080",
+        "compact_kernel_stage": compact_rep,
         "kernel_backend": "XLA tiled + frame_chunk=1 remat (CPU devices)",
         "mesh": f"{n_data} data x {n_tile} tile (virtual CPU devices)",
         "steps": steps,

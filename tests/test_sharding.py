@@ -35,8 +35,10 @@ def rig(tmp_path_factory):
     chain = build_chain(model)
     links = ["base", "upper", "fore"]
     meshes = load_link_meshes(model, link_names=links)
-    full = RobotRenderer([meshes[n] for n in links], H, W, tile=TileConfig(16, 32, 64))
-    band = RobotRenderer([meshes[n] for n in links], BAND_H, W, tile=TileConfig(16, 32, 64))
+    # cap 128 covers this rig's TRUE max bin load (96): sharded_calibrate
+    # raises on any rebin overflow, so a truncating cap now fails loudly.
+    full = RobotRenderer([meshes[n] for n in links], H, W, tile=TileConfig(16, 32, 128))
+    band = RobotRenderer([meshes[n] for n in links], BAND_H, W, tile=TileConfig(16, 32, 128))
     link_idx = jnp.asarray([chain.link_index(n) for n in links])
     return chain, full, band, link_idx
 
@@ -130,29 +132,52 @@ class TestSharding:
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=2e-3, atol=1e-2)
 
 
+# Production kernel settings (the BASELINE.md round-3 winning path):
+# fused-pose loss + span-classed counting binner + compact-chunk grid +
+# band-only backward with the boundary-prefix backward map. The "dense"
+# variant keeps the non-compact record layout for coverage. Caps/big_k
+# cover this rig's TRUE bin loads (max 96): sharded_calibrate and
+# calibrate now RAISE on any rebin overflow, so a truncating test config
+# fails loudly instead of silently passing.
+_PROD_TILE_VARIANTS = {
+    "dense": TileConfig(
+        16, 32, 128, binner="count", fused=True, margin=2.0, bin_big_k=128,
+        bwd_band_only=True,
+    ),
+    "compact": TileConfig(
+        16, 32, 128, binner="count", fused=True, margin=2.0, bin_big_k=128,
+        bwd_band_only=True, bin_subsort_rows=True, compact_chunks=24,
+        bwd_chunks=24,
+    ),
+}
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestShardedProductionSettings:
     """The sharded optimizer is the SAME machinery as single-chip
     (models.calib.opt_scan): fused loss kernel + amortized rebin +
-    robust_delta + grad_clip must match the single-chip run step for step."""
+    robust_delta + grad_clip must match the single-chip run step for step —
+    including the compact-chunk production kernels."""
 
-    def _fused_rigs(self, tmp_path):
+    def _fused_rigs(self, tmp_path, cfg):
         urdf = tmp_path / "mini.urdf"
         urdf.write_text(ARM_URDF)
         model = parse_urdf(urdf)
         chain = build_chain(model)
         links = ["base", "upper", "fore"]
         meshes = load_link_meshes(model, link_names=links)
-        cfg = TileConfig(16, 32, 64, binner="count", fused=True, margin=2.0)
         full = RobotRenderer([meshes[n] for n in links], H, W, tile=cfg)
         band = RobotRenderer([meshes[n] for n in links], BAND_H, W, tile=cfg)
         link_idx = jnp.asarray([chain.link_index(n) for n in links])
         return chain, full, band, link_idx
 
-    def test_matches_single_chip_run(self, tmp_path):
+    @pytest.mark.parametrize("variant", sorted(_PROD_TILE_VARIANTS))
+    def test_matches_single_chip_run(self, tmp_path, variant):
         from easyhec_tpu.models.calib import calibrate
 
-        chain, full, band, link_idx = self._fused_rigs(tmp_path)
+        chain, full, band, link_idx = self._fused_rigs(
+            tmp_path, _PROD_TILE_VARIANTS[variant]
+        )
         lp, Tc = _scene(chain, link_idx, B=4)
         gt_dof = np.asarray(se3.log(jnp.asarray(Tc)))
         target = np.asarray(full.silhouette(jnp.asarray(Tc), lp, jnp.asarray(K)))
