@@ -80,6 +80,11 @@ def main(argv=None) -> int:
                     "the cross-pair IoU matrix) + refit: if the re-paired "
                     "fit's mIoU jumps, the dataset's pairing is proven "
                     "scrambled (no rigid pose can explain it)")
+    ap.add_argument("--repair-exclude-iou", type=float, default=0.5,
+                    help="after the repair fit, frames below this IoU are "
+                    "rejected (their mask has no matching qpos in the set) "
+                    "and the pose refit on the consistent remainder; 0 "
+                    "disables the exclude-and-refit tail")
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args(argv)
 
@@ -197,6 +202,56 @@ def main(argv=None) -> int:
         }
         print(f"repair: assignment {perm.tolist()}, "
               f"mIoU {np.mean(iou_p):.3f}")
+
+        # Exclude-and-refit tail: the Hungarian assignment must place EVERY
+        # mask somewhere, so a mask whose true qpos was never recorded gets
+        # a leftover qpos and drags the pose (r3: frame 8 at IoU 0.34
+        # post-repair). Reject frames the optimal pairing still cannot
+        # explain, refit on the consistent remainder, and report each
+        # rejected mask's best IoU against ANY qpos under the final pose —
+        # ~equal to its assigned IoU means no qpos in the set explains it.
+        thr = args.repair_exclude_iou
+        bad = [i for i in range(B) if iou_p[i] < thr]
+        if thr > 0 and bad and len(bad) <= B - 3:
+            keep = [i for i in range(B) if i not in bad]
+            lp_rep = lp[perm]
+            rep2 = _fit(rt, cfg, lp_rep[keep], K, masks[keep], rep.dof,
+                        steps=steps)
+            sil_k = _renders(rt, rep2.dof, lp_rep[keep], K)
+            iou_k = {k: _iou(sil_k[t], masks[k])
+                     for t, k in enumerate(keep)}
+            sil_all = _renders(rt, rep2.dof, lp, K)
+            resid = {
+                i: {
+                    "assigned_iou": round(float(iou_p[i]), 4),
+                    "best_iou_any_qpos": round(
+                        max(_iou(masks[i], sil_all[j]) for j in range(B)), 4
+                    ),
+                    "best_qpos": int(np.argmax(
+                        [_iou(masks[i], sil_all[j]) for j in range(B)]
+                    )),
+                }
+                for i in bad
+            }
+            report["repair_exclude"] = {
+                "threshold": thr,
+                "excluded_frames": bad,
+                "kept_frames": keep,
+                "mean_iou_kept": float(np.mean(list(iou_k.values()))),
+                "per_frame_iou_kept": {
+                    str(k): round(v, 4) for k, v in iou_k.items()
+                },
+                "excluded_residuals": resid,
+                "dof": rep2.dof.tolist(),
+            }
+            print(
+                f"repair-exclude: dropped {bad}, mIoU(kept) "
+                f"{np.mean(list(iou_k.values())):.3f}; residuals "
+                + ", ".join(
+                    f"{i}: best any-qpos {v['best_iou_any_qpos']}"
+                    for i, v in resid.items()
+                )
+            )
 
     # ---- 4. leave-one-out consistency ------------------------------------
     if args.loo:
@@ -367,6 +422,25 @@ def _write_markdown(path: Path, r: dict) -> None:
                 f"{i}:{v:.2f}" for i, v in enumerate(rp["per_frame_iou"])
             ), "",
         ]
+    if "repair_exclude" in r:
+        re_ = r["repair_exclude"]
+        lines += [
+            "## Exclude-and-refit tail (assignment with rejection)",
+            f"- frames rejected (post-repair IoU < {re_['threshold']}): "
+            f"**{re_['excluded_frames']}**",
+            f"- mean IoU over the kept {len(re_['kept_frames'])} frames: "
+            f"**{re_['mean_iou_kept']:.3f}**",
+            "- kept per-frame IoU: " + ", ".join(
+                f"{k}:{v:.2f}" for k, v in re_["per_frame_iou_kept"].items()
+            ),
+            "- rejected-mask residuals (best IoU against ANY qpos under the "
+            "final pose — ~assigned IoU means NO recorded qpos explains the "
+            "mask):",
+        ] + [
+            f"    - frame {i}: assigned {v['assigned_iou']}, best any-qpos "
+            f"{v['best_iou_any_qpos']} (qpos {v['best_qpos']})"
+            for i, v in re_["excluded_residuals"].items()
+        ] + [""]
     if "leave_one_out" in r:
         lines += ["## Leave-one-out consistency",
                   "| frame | held-out IoU | in-set mean IoU |",

@@ -21,7 +21,12 @@ import numpy as np
 
 from ..config.config import Config, save_config
 from ..data.dataset import save_calib_frame
-from ..models.calib import CalibResult, calibrate, pose_metrics
+from ..models.calib import (
+    BinOverflowError,
+    CalibResult,
+    calibrate,
+    pose_metrics,
+)
 from ..models.explorer import SpaceExplorer, build_link_spheres
 from ..io.interfaces import Camera, MaskSource, RobotArm
 from ..utils.checkpoint import save_checkpoint
@@ -169,22 +174,43 @@ def run_iterative(
             )
             dof = _init_dof(cfg, batch_stub, rt)
 
-        result = calibrate(
-            dof,
-            rt.renderer,
-            link_poses.astype(np.float32),
-            np.asarray(K_live, np.float32),
-            np.stack(masks).astype(np.float32),
-            num_steps=cfg.solver.num_epochs,
-            max_lr=cfg.solver.max_lr,
-            optimizer=cfg.solver.optimizer,
-            scheduler=cfg.solver.scheduler,
-            grad_clip=cfg.solver.grad_clip,
-            sharpness=cfg.render.sharpness,
-            robust_delta=cfg.solver.robust_delta,
-            rebin_every=cfg.solver.rebin_every,
-            Tc_c2b_gt=Tc_c2b_gt,
-        )
+        # Overflow is asserted at every rebin; explored poses are chosen to
+        # MAXIMIZE render disagreement and can concentrate loads beyond any
+        # random-pose audit (a 720p run measured max load 1309 at an
+        # explored pose vs 824-925 over random audits), so on overflow the
+        # bin budgets escalate 2x and the round restarts instead of dying.
+        for attempt in range(3):
+            try:
+                result = calibrate(
+                    dof,
+                    rt.renderer,
+                    link_poses.astype(np.float32),
+                    np.asarray(K_live, np.float32),
+                    np.stack(masks).astype(np.float32),
+                    num_steps=cfg.solver.num_epochs,
+                    max_lr=cfg.solver.max_lr,
+                    optimizer=cfg.solver.optimizer,
+                    scheduler=cfg.solver.scheduler,
+                    grad_clip=cfg.solver.grad_clip,
+                    sharpness=cfg.render.sharpness,
+                    robust_delta=cfg.solver.robust_delta,
+                    rebin_every=cfg.solver.rebin_every,
+                    Tc_c2b_gt=Tc_c2b_gt,
+                )
+                break
+            except BinOverflowError as e:
+                if attempt == 2:
+                    raise
+                from .offline import escalate_render_budgets
+
+                escalate_render_budgets(cfg)
+                logger.warning(
+                    "%s — escalating to capacity=%d compact_chunks=%d and "
+                    "rebuilding", e, cfg.render.capacity,
+                    cfg.render.compact_chunks,
+                )
+                rt = build_runtime(cfg)
+                explorer, explore_ds = make_explorer(rt)
         dof = result.dof  # warm start the next round
         writer.scalars(
             it,

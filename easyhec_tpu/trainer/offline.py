@@ -136,6 +136,20 @@ def _warn_if_bins_overflow(rt: Runtime, batch: CalibBatch, init_dof) -> None:
         logger.debug("overflow pre-check skipped: %s", e)
 
 
+def escalate_render_budgets(cfg: Config) -> None:
+    """Double the static bin budgets after a BinOverflowError (capacity to
+    the next multiple of 128; compact/bwd chunk budgets and the big-span
+    class along with it). Shared by the offline and iterative trainers."""
+    r = cfg.render
+    r.capacity = -(-r.capacity * 2 // 128) * 128
+    if r.compact_chunks > 0:
+        r.compact_chunks *= 2
+    if r.bwd_chunks > 0:
+        r.bwd_chunks *= 2
+    if r.bin_big_k > 0:
+        r.bin_big_k *= 2
+
+
 def _init_dof(cfg: Config, batch: CalibBatch, rt: Runtime | None = None) -> np.ndarray:
     """Initial pose per cfg.model.init_method (the reference's three
     bootstrap paths: yaml init / dataset GT / PVNet subprocess — here the
@@ -269,15 +283,11 @@ def run_offline_calibration(
         except BinOverflowError as e:
             if resume_state is not None or attempt == 2:
                 raise
-            r = cfg.render
-            r.capacity = -(-r.capacity * 2 // 128) * 128
-            if r.compact_chunks > 0:
-                r.compact_chunks *= 2
-            if r.bwd_chunks > 0:
-                r.bwd_chunks *= 2
+            escalate_render_budgets(cfg)
             logger.warning(
                 "%s — escalating to capacity=%d compact_chunks=%d and "
-                "restarting", e, r.capacity, r.compact_chunks,
+                "restarting", e, cfg.render.capacity,
+                cfg.render.compact_chunks,
             )
             rt = build_runtime(cfg)
     mid_writer.close()

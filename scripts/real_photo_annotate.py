@@ -26,6 +26,25 @@ from PIL import Image
 ROOT = Path(__file__).resolve().parent.parent
 EVAL = ROOT / "docs" / "real_photo_eval"
 
+# -- Photo B: the "Next arm joint pose" panel of the same pipeline figure
+# (folded arm, gripper raised — a second genuine capture; cropped at
+# pipeline_v5.png[64:394, 2380:2709]). Same construction conventions as
+# photo A: blue mounting clamp / c-clamp hardware / table excluded, the
+# dark gripper prongs and wrist cable included manually.
+EXCLUDE_B = [
+    (0, 0, 329, 10),      # top figure-border bleed
+    (0, 295, 329, 330),   # table surface + column reflection bottom strip
+    (30, 255, 100, 295),  # c-clamp hardware left of the base column
+    (140, 262, 190, 295),  # blue clamp (occludes the base plate right side)
+    (92, 285, 150, 295),  # clamp-occluded base plate strip (ambiguous)
+]
+INCLUDE_B = [
+    (222, 46, 236, 72),   # left gripper finger prong (dark)
+    (258, 44, 276, 72),   # right gripper finger prong (dark)
+    (269, 73, 289, 118),  # right-side cable/bracket of the gripper body
+    (212, 75, 222, 88),   # dark connector nub left of the gripper body
+]
+
 # Manual exclusion boxes (x0, y0, x1, y1) — table top, clamp, photo edges.
 EXCLUDE = [
     (0, 300, 331, 329),    # bottom strip: table front edge highlights
@@ -93,28 +112,34 @@ def _largest_component(m: np.ndarray) -> np.ndarray:
     return out
 
 
-def build_handmask() -> np.ndarray:
-    rgb = np.asarray(Image.open(EVAL / "real_xarm7.png").convert("RGB")).astype(np.float32)
+def build_handmask(
+    photo: str = "real_xarm7.png", exclude=EXCLUDE, include=INCLUDE
+) -> np.ndarray:
+    rgb = np.asarray(Image.open(EVAL / photo).convert("RGB")).astype(np.float32)
     bright = rgb.mean(axis=2)
     m = bright > 110
-    for x0, y0, x1, y1 in EXCLUDE:
+    for x0, y0, x1, y1 in exclude:
         m[y0:y1, x0:x1] = False
     m = _close(m, it=2)
     m = _largest_component(m)
-    for x0, y0, x1, y1 in INCLUDE:
+    for x0, y0, x1, y1 in include:
         m[y0:y1, x0:x1] = True
     m = _close(m, it=1)
     return m
 
 
 def main() -> None:
-    m = build_handmask()
-    Image.fromarray((m * 255).astype(np.uint8)).save(EVAL / "handmask.png")
-    rgb = np.asarray(Image.open(EVAL / "real_xarm7.png").convert("RGB")).astype(np.float32)
-    ov = rgb.copy()
-    ov[m] = 0.5 * ov[m] + 0.5 * np.array([255.0, 40.0, 40.0])
-    Image.fromarray(ov.astype(np.uint8)).save(EVAL / "handmask_overlay.png")
-    print("mask fraction:", round(float(m.mean()), 4))
+    for photo, mask_name, exc, inc in (
+        ("real_xarm7.png", "handmask", EXCLUDE, INCLUDE),
+        ("real_xarm7_b.png", "handmask_b", EXCLUDE_B, INCLUDE_B),
+    ):
+        m = build_handmask(photo, exc, inc)
+        Image.fromarray((m * 255).astype(np.uint8)).save(EVAL / f"{mask_name}.png")
+        rgb = np.asarray(Image.open(EVAL / photo).convert("RGB")).astype(np.float32)
+        ov = rgb.copy()
+        ov[m] = 0.5 * ov[m] + 0.5 * np.array([255.0, 40.0, 40.0])
+        Image.fromarray(ov.astype(np.uint8)).save(EVAL / f"{mask_name}_overlay.png")
+        print(photo, "mask fraction:", round(float(m.mean()), 4))
 
 
 if __name__ == "__main__":

@@ -17,8 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# Default test tier: virtual 8-device CPU mesh. An EXPLICIT JAX_PLATFORMS
+# (e.g. JAX_PLATFORMS=axon for the TPU-gated rehearsals like
+# test_online_scale.py) wins — without this carve-out the cpu override
+# below made those tests unreachable (they skipped in every recorded run).
+if os.environ.get("JAX_PLATFORMS", "").lower() in ("", "cpu"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import sys
 from pathlib import Path
@@ -26,6 +31,29 @@ from pathlib import Path
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers (round-3 verdict: the 16-minute default run meant the
+    full suite was skipped before commits). Default `pytest tests/ -q` runs
+    the FAST tier (slow-marked interpret-mode kernel suites skipped, ~2-3
+    min); the full tier runs everything:
+
+        EASYHEC_FULL_TESTS=1 pytest tests/ -q        # full tier
+        pytest tests/ -q -m slow                     # slow tests only
+
+    An explicit -m expression naming "slow" disables the auto-skip."""
+    if os.environ.get("EASYHEC_FULL_TESTS"):
+        return
+    markexpr = config.getoption("-m") or ""
+    if "slow" in markexpr:
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (EASYHEC_FULL_TESTS=1 or -m slow to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")
