@@ -35,6 +35,10 @@ def _iou(a: np.ndarray, b: np.ndarray, thr: float = 0.5) -> float:
 def _fit(rt, cfg, lp, K, masks, init_dof, steps=None, robust=0.0):
     from ..models.calib import calibrate
 
+    # on_overflow="warn": diagnostics run on KNOWN-BAD datasets whose fits
+    # wander far from any pre-audited pose (the point of the tool) — an
+    # overflow here degrades renders but the analysis must complete; the
+    # warning is logged and the production trainers still raise/escalate.
     return calibrate(
         init_dof, rt.renderer, lp, K, masks,
         num_steps=steps or cfg.solver.num_epochs,
@@ -45,6 +49,7 @@ def _fit(rt, cfg, lp, K, masks, init_dof, steps=None, robust=0.0):
         sharpness=cfg.render.sharpness,
         robust_delta=robust,
         rebin_every=cfg.solver.rebin_every,
+        on_overflow="warn",
     )
 
 

@@ -32,7 +32,41 @@ def main(argv=None) -> int:
     if args.iterative:
         from ..trainer import run_iterative
 
-        result = run_iterative(cfg)
+        # No hardware adapters from the CLI: if the dataset dir carries a
+        # synthetic GT (K.txt + Tc_c2b.txt from cli.simulate), run the
+        # fully simulated closed loop against it — the reference's
+        # simulator-as-oracle pattern, runnable end-to-end from the shell.
+        import pathlib
+
+        import numpy as np
+
+        ddir = pathlib.Path(cfg.dataset.data_dir or "")
+        kw = {}
+        if (ddir / "K.txt").exists() and (ddir / "Tc_c2b.txt").exists():
+            kw = {
+                "K": np.loadtxt(ddir / "K.txt"),
+                "Tc_c2b_gt": np.loadtxt(ddir / "Tc_c2b.txt"),
+            }
+            # captures go under the run dir — never clobber the GT dataset
+            cfg.dataset.data_dir = ""
+            print(f"simulated closed loop against GT from {ddir}")
+            if cfg.model.init_Tc_c2b is None and cfg.model.init_method == "auto":
+                # standard sim-smoke bootstrap: GT perturbed in se(3)
+                # (set model.init_Tc_c2b or init_method to override)
+                import jax.numpy as jnp
+
+                from ..geometry import se3
+
+                xi = np.asarray(
+                    se3.log(jnp.asarray(kw["Tc_c2b_gt"], jnp.float32))
+                )
+                rng = np.random.default_rng(cfg.solver.seed)
+                xi = (xi + rng.normal(0, 0.02, 6)).astype(np.float32)
+                cfg.model.init_Tc_c2b = np.asarray(
+                    se3.exp(jnp.asarray(xi))
+                ).tolist()
+                print("sim init: GT perturbed by sigma=0.02")
+        result = run_iterative(cfg, **kw)
     else:
         from ..trainer import run_offline_calibration
 

@@ -131,6 +131,13 @@ class ExplorerConfig:
     max_dist_constraint: bool = True
     self_collision_check: bool = True
     render_downscale: int = 2  # score renders at H/ds x W/ds
+    decimate_voxel: float = 0.0  # explorer-renderer mesh LOD; 0 = auto
+    #                       (model.decimate_voxel * render_downscale). A
+    #                       sub-pixel-triangle mesh at 1/ds resolution
+    #                       concentrates thousands of triangles per tile
+    #                       (audited 6900/tile at 320x180 with the full-res
+    #                       mesh) — variance scoring is insensitive to
+    #                       sub-pixel detail, so the LOD matches the pixels
     seed: int = 0
     plan_top_k: int = 10  # try planning to the top-k candidates by variance
     #                       until one succeeds (reference gates EVERY scored

@@ -151,10 +151,55 @@ class SpaceExplorer:
 
     # -- scoring -----------------------------------------------------------
 
-    def _score(self, qposes: jax.Array, hyp_dofs: jax.Array, K: jax.Array):
+    def _can_share_bins(self) -> bool:
+        """Shared-bin scoring needs a reusable bin-state path: the count
+        binner (BinState → counted silhouette) or the fused compact-chunk
+        grid (CompactState → render.fused.silhouette_compact, the fastest:
+        work scales with occupancy)."""
+        t = self.renderer.tile
+        return (
+            self.renderer.mode != "brute"
+            and t.use_pallas
+            and t.binner == "count"
+        )
+
+    def hypothesis_spread_px(self, hyp_dofs: np.ndarray, K: np.ndarray) -> float:
+        """Max pixel displacement of robot-workspace probe points across the
+        hypothesis poses (host-side). Decides whether one tile binning per
+        candidate can serve every hypothesis (rebin-reuse contract: bboxes
+        drift less than the binning margin)."""
+        probes = self._probe_points()
+        Kn = np.asarray(K, np.float64)
+
+        def project(dof):
+            T = np.asarray(se3.exp(jnp.asarray(dof, jnp.float32)), np.float64)
+            pc = probes @ T[:3, :3].T + T[:3, 3]
+            z = np.maximum(pc[:, 2], 0.05)
+            return np.stack(
+                [Kn[0, 0] * pc[:, 0] / z + Kn[0, 2],
+                 Kn[1, 1] * pc[:, 1] / z + Kn[1, 2]], axis=-1)
+
+        dofs = np.asarray(hyp_dofs, np.float64)
+        # The binning contract bounds bbox DRIFT from the state's build
+        # pose (the mean dof): max per-point displacement vs the mean-pose
+        # projection, not the cloud diameter.
+        pix_mean = project(dofs.mean(axis=0))
+        pix = np.stack([project(d) for d in dofs])  # [Hh, P, 2]
+        return float(np.abs(pix - pix_mean[None]).max())
+
+    def _probe_points(self) -> np.ndarray:
+        if not hasattr(self, "_probes"):
+            lp0 = self.chain.fk_np(np.zeros(self.chain.n_dof))
+            self._probes = np.asarray(lp0[:, :3, 3], np.float64)
+        return self._probes
+
+    def _score(self, qposes: jax.Array, hyp_dofs: jax.Array, K: jax.Array,
+               shared: bool = False):
         """Variance score per candidate + feasibility. One compiled program
-        (jitted once per explorer instance)."""
+        (jitted once per (explorer, shared-mode))."""
         if not hasattr(self, "_score_jit"):
+            self._score_jit = {}
+        if shared not in self._score_jit:
 
             @jax.jit
             def run(qposes, hyp_dofs, K):
@@ -176,25 +221,86 @@ class SpaceExplorer:
                     [lp, jnp.broadcast_to(lp[:1], (pad,) + lp.shape[1:])]
                 ) if pad else lp
 
-                def per_batch(lp_b):  # [cb, L, 4, 4]
-                    L = lp_b.shape[1]
-                    lp_full = jnp.broadcast_to(
-                        lp_b[:, None], (cb, Hh, L, 4, 4)
-                    ).reshape(cb * Hh, L, 4, 4)
-                    Ts_full = jnp.broadcast_to(
-                        Ts[None], (cb, Hh, 4, 4)
-                    ).reshape(cb * Hh, 4, 4)
-                    sils = self.renderer.silhouette(Ts_full, lp_full, K)
-                    sils = sils.reshape((cb, Hh) + sils.shape[-2:])
-                    return jnp.sum(jnp.var(sils, axis=1), axis=(-2, -1))
+                from ..render.fused import CompactState, silhouette_compact
 
-                var = jax.lax.map(
-                    per_batch, lp_p.reshape((-1, cb) + lp.shape[1:])
-                ).reshape(-1)[:C]
-                return jnp.where(feasible, var, -jnp.inf), feasible
+                compact_renderer = self.renderer.tile.fused and int(
+                    getattr(self.renderer.tile, "compact_chunks", 0)
+                ) > 0
 
-            self._score_jit = run
-        return self._score_jit(qposes, hyp_dofs, K)
+                if shared or compact_renderer:
+                    # State-driven scoring, scanning hypotheses:
+                    # - shared: bin ONCE per candidate at the MEAN
+                    #   hypothesis pose and render all Hh hypotheses
+                    #   against the same bins (caller gated on
+                    #   hypothesis_spread_px <= margin-2 — the optimizer's
+                    #   rebin-reuse contract). The inversion scatter runs
+                    #   Hh times less.
+                    # - exact (wide clouds) with a compact renderer: bin
+                    #   at EACH hypothesis pose — exact for any spread,
+                    #   and the compact render path (work ∝ occupancy)
+                    #   avoids materializing the dense [cb·Hh, 12,
+                    #   n_tiles·cap] fused records the plain silhouette
+                    #   fallback would build.
+                    T_mean = se3.exp(jnp.mean(hyp_dofs, axis=0))
+
+                    def per_batch(lp_b):  # [cb, L, 4, 4]
+                        zero = jnp.zeros(
+                            (cb, self.renderer.H, self.renderer.W)
+                        )
+                        st0 = (
+                            self.renderer.bin_state(T_mean, lp_b, K)
+                            if shared else None
+                        )
+
+                        def hyp_step(carry, T_h):
+                            s, s2, ov = carry
+                            state = st0 if shared else (
+                                self.renderer.bin_state(T_h, lp_b, K)
+                            )
+                            if isinstance(state, CompactState):
+                                sil = silhouette_compact(
+                                    self.renderer, T_h, K, state
+                                )
+                            else:
+                                sil = self.renderer.silhouette(
+                                    T_h, lp_b, K, bin_state=state
+                                )
+                            ov = ov | jnp.any(state.overflow)
+                            return (s + sil, s2 + sil * sil, ov), None
+
+                        (s, s2, ov), _ = jax.lax.scan(
+                            hyp_step, (zero, zero, jnp.zeros((), bool)), Ts
+                        )
+                        var = s2 / Hh - (s / Hh) ** 2
+                        return jnp.sum(var, axis=(-2, -1)), ov
+
+                    var, ovs = jax.lax.map(
+                        per_batch, lp_p.reshape((-1, cb) + lp.shape[1:])
+                    )
+                    var = var.reshape(-1)[:C]
+                    overflow = jnp.any(ovs)
+                else:
+
+                    def per_batch(lp_b):  # [cb, L, 4, 4]
+                        L = lp_b.shape[1]
+                        lp_full = jnp.broadcast_to(
+                            lp_b[:, None], (cb, Hh, L, 4, 4)
+                        ).reshape(cb * Hh, L, 4, 4)
+                        Ts_full = jnp.broadcast_to(
+                            Ts[None], (cb, Hh, 4, 4)
+                        ).reshape(cb * Hh, 4, 4)
+                        sils = self.renderer.silhouette(Ts_full, lp_full, K)
+                        sils = sils.reshape((cb, Hh) + sils.shape[-2:])
+                        return jnp.sum(jnp.var(sils, axis=1), axis=(-2, -1))
+
+                    var = jax.lax.map(
+                        per_batch, lp_p.reshape((-1, cb) + lp.shape[1:])
+                    ).reshape(-1)[:C]
+                    overflow = jnp.zeros((), bool)
+                return jnp.where(feasible, var, -jnp.inf), feasible, overflow
+
+            self._score_jit[shared] = run
+        return self._score_jit[shared](qposes, hyp_dofs, K)
 
     def explore(
         self,
@@ -225,7 +331,29 @@ class SpaceExplorer:
         else:
             qposes = jnp.asarray(qpos_candidates, jnp.float32)
 
-        var, feasible = self._score(qposes, hyp_dofs, jnp.asarray(K, jnp.float32))
+        # Shared-bin fast path when every hypothesis stays within the
+        # binning margin of their mean (minus soft-band slack) — typical
+        # once the optimizer has burned in; early wide clouds take the
+        # exact per-pair path.
+        shared = False
+        spread = float("nan")
+        if self._can_share_bins():
+            spread = self.hypothesis_spread_px(np.asarray(hyp_dofs), K)
+            shared = spread <= float(self.renderer.tile.margin) - 2.0
+        # introspection for benchmarks/logs
+        self.last_shared = shared
+        self.last_spread_px = spread
+        var, feasible, overflow = self._score(
+            qposes, hyp_dofs, jnp.asarray(K, jnp.float32), shared=shared
+        )
+        if bool(np.asarray(overflow)):
+            import logging
+
+            logging.getLogger("easyhec_tpu").warning(
+                "explorer: tile-bin overflow during candidate scoring — "
+                "variance ranking may be degraded; raise the explorer "
+                "renderer's capacity/bin_big_k or decimate more"
+            )
         var_np = np.asarray(var)
         if not np.isfinite(var_np).any():
             raise RuntimeError("no feasible qpos among candidates")

@@ -431,6 +431,42 @@ def silhouette_fused(
     return img.reshape(batch + (H, W))
 
 
+def silhouette_compact(
+    renderer,
+    Tc_c2b: jax.Array,
+    K: jax.Array,
+    state: CompactState,
+    sharpness: float = 1.0,
+) -> jax.Array:
+    """Forward-only silhouette from a prebuilt CompactState.
+
+    The compact records are pose-free base-frame corner fields (the pose
+    enters through the cam rows inside the kernel), so one state renders
+    any pose within tile.margin px of the state's build pose — the same
+    rebin-reuse contract as the optimizer. Kernel work, DMA and memory
+    scale with OCCUPANCY (nc·128 slots) instead of n_tiles·capacity,
+    which makes this the fast path for forward-only many-pose workloads
+    (explorer hypothesis scoring). Tc_c2b [4,4] or [B,4,4] with B = the
+    state's frame batch; -> [B, H, W] in [0, 1]."""
+    from ..ops.pose_raster_compact import compact_tile_acc
+    from .tiled import _untile
+
+    cfg = renderer.tile
+    H, W = renderer.H, renderer.W
+    B, T = state.counts.shape
+    cam = cam_rows(Tc_c2b, K, B)
+    n_tx = _cdiv(W, cfg.tile_w)
+    acc = compact_tile_acc(
+        cam, state.rec, state.nlive, state.ctmap, state.ncu, T,
+        cfg.tile_h, cfg.tile_w, n_tx, H, W, sharpness,
+        camera.NEAR_DEFAULT, camera.FAR_DEFAULT,
+    )
+    # Tiles no chunk maps to are never written by the kernel grid (they
+    # render exactly 0 for any in-contract pose): mask before untiling.
+    acc = jnp.where((state.counts > 0)[:, :, None, None], acc, 0.0)
+    return jnp.clip(_untile(acc, H, W, cfg), 0.0, 1.0)
+
+
 def loss_fused(
     renderer,
     Tc_c2b: jax.Array,

@@ -93,8 +93,24 @@ def run_iterative(
         if ds > 1 and rt.meshes:
             from ..render.renderer import RobotRenderer
 
+            # LOD-matched meshes: at 1/ds resolution the full-detail mesh
+            # packs thousands of sub-pixel triangles into single tiles
+            # (audited 6900/tile at 320x180) — truncation territory. The
+            # variance score only reads binary silhouettes, so decimate to
+            # the downscaled pixel scale (explorer.decimate_voxel, auto =
+            # model voxel * ds).
+            vox = cfg.explorer.decimate_voxel or (
+                cfg.model.decimate_voxel * ds
+            )
+            emeshes = rt.meshes
+            if vox > 0:
+                from ..robot.mesh import decimate_vertex_clustering
+
+                emeshes = [
+                    decimate_vertex_clustering(m, vox) for m in rt.meshes
+                ]
             er = RobotRenderer(
-                rt.meshes, rt.renderer.H // ds, rt.renderer.W // ds,
+                emeshes, rt.renderer.H // ds, rt.renderer.W // ds,
                 tile=rt.renderer.tile,
             )
         else:

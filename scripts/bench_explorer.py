@@ -36,6 +36,8 @@ def main() -> int:
     from easyhec_tpu.robot import build_chain, load_link_meshes, parse_urdf
     from easyhec_tpu.robot.mesh import decimate_vertex_clustering
 
+    import os
+
     n_cand = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     ds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_hyp = 10
@@ -46,13 +48,34 @@ def main() -> int:
     chain = build_chain(model)
     names = [f"link{i}" for i in range(1, 8)]
     meshes = load_link_meshes(model, link_names=names)
-    mesh_list = [decimate_vertex_clustering(meshes[n], 0.004) for n in names]
+    # LOD-matched mesh: at 320x180 the full-detail (0.004-voxel) mesh packs
+    # up to 6900 triangles into ONE tile (scripts/bin_audit.py) — the r2-era
+    # cap-512 bench config silently truncated ~93% of the densest bins.
+    # Variance scoring reads binary silhouettes, so the mesh LOD matches the
+    # downscaled pixels (0.004 * ds), and the budgets below cover the
+    # audited TRUE loads of the decimated scene (16x32 @ 0.016: max 964,
+    # big 473, span 2x2). run asserts overflow on sampled candidates.
+    vox = float(os.environ.get("EXP_DECIMATE", 0.004 * ds))
+    mesh_list = [decimate_vertex_clustering(meshes[n], vox) for n in names]
     from easyhec_tpu.render import TileConfig
 
+    # margin 8 lets the SHARED-BIN fast path engage (hypothesis clouds a
+    # few px wide render against one binning per candidate — see
+    # SpaceExplorer.hypothesis_spread_px); budgets re-audited at margin 8:
+    # max load 1336, big 1290, span 3x2.
+    th = int(os.environ.get("EXP_TILE_H", "16"))
+    tw = int(os.environ.get("EXP_TILE_W", "32"))
+    cap = int(os.environ.get("EXP_CAP", "1792"))
+    big_k = int(os.environ.get("EXP_BIG_K", "1792"))
+    margin = float(os.environ.get("EXP_MARGIN", "8.0"))
+    fused = os.environ.get("EXP_FUSED", "1") == "1"
+    nc = int(os.environ.get("EXP_COMPACT", "96"))  # audit: 59 needed @ m8
     renderer = RobotRenderer(
         mesh_list, H, W,
-        tile=TileConfig(16, 128, 512, True, binner="count", rect_y=5,
-                        rect_x=2, margin=2.0, cull_backfaces=True),
+        tile=TileConfig(th, tw, cap, True, binner="count", rect_y=3,
+                        rect_x=2, margin=margin, cull_backfaces=True,
+                        fused=fused, bin_big_k=big_k,
+                        compact_chunks=nc if fused else 0),
     )
     spheres = build_link_spheres(chain, {n: meshes[n] for n in names})
     K = downscale_K(
@@ -73,6 +96,22 @@ def main() -> int:
     rng = np.random.default_rng(0)
     history = xi + 0.01 * rng.normal(size=(400, 6)).astype(np.float32)
 
+    # Honesty gate: true bin loads for a sample of candidate qposes at the
+    # hypothesis pose must fit the static budgets — a truncating bin would
+    # drop silhouette area and quietly corrupt the variance scores.
+    lo = jnp.asarray(chain.joint_limits[:, 0]) * explorer.limit_fraction
+    hi = jnp.asarray(chain.joint_limits[:, 1]) * explorer.limit_fraction
+    qs_chk = jax.random.uniform(
+        jax.random.PRNGKey(9), (8, chain.n_dof), minval=lo, maxval=hi
+    )
+    lp_chk = jax.vmap(chain.fk)(qs_chk)[:, explorer.link_idx]
+    st = renderer.bin_state(
+        se3.exp(jnp.asarray(xi, jnp.float32)), lp_chk, jnp.asarray(K, jnp.float32)
+    )
+    assert not bool(np.asarray(jnp.any(st.overflow))), (
+        "explorer bin overflow: raise EXP_CAP / EXP_BIG_K or EXP_DECIMATE"
+    )
+
     # Warm (compile) + timed run.
     res = explorer.explore(history, K, key=0)
     t0 = time.time()
@@ -90,6 +129,8 @@ def main() -> int:
         "candidates_per_s": round(n_cand / dt, 1),
         "renders_per_s": round(renders_per_s, 1),
         "best_variance": round(float(res.variance), 2),
+        "shared_bins": bool(getattr(explorer, "last_shared", False)),
+        "hyp_spread_px": round(float(getattr(explorer, "last_spread_px", -1)), 2),
     }))
     return 0
 

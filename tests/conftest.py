@@ -17,11 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-# Default test tier: virtual 8-device CPU mesh. An EXPLICIT JAX_PLATFORMS
-# (e.g. JAX_PLATFORMS=axon for the TPU-gated rehearsals like
-# test_online_scale.py) wins — without this carve-out the cpu override
-# below made those tests unreachable (they skipped in every recorded run).
-if os.environ.get("JAX_PLATFORMS", "").lower() in ("", "cpu"):
+# Default test tier: virtual 8-device CPU mesh. EASYHEC_TEST_TPU=1 keeps
+# the hardware backend for the TPU-gated rehearsals (test_online_scale.py)
+# — without this carve-out the unconditional cpu override made those tests
+# unreachable (they skipped in every recorded run). NOTE: this machine
+# exports JAX_PLATFORMS=axon globally, so the env var JAX_PLATFORMS cannot
+# be used to tell "user wants TPU" from "machine default" — hence the
+# dedicated opt-in.
+if not os.environ.get("EASYHEC_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 

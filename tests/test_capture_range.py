@@ -70,6 +70,7 @@ def _converges(rig_tuple, delta, steps=220):
     return err_t < 1.0 and err_r < 1.0, (err_t, err_r)
 
 
+@pytest.mark.slow
 def test_capture_radius_documented_floor(rig):
     # The documented floor: a coarse init within ~0.1 in se(3)-log norm
     # (≈6 cm translation + ≈4° rotation here) must converge.
@@ -81,6 +82,7 @@ def test_capture_radius_documented_floor(rig):
         assert ok, (trial, d, errs)
 
 
+@pytest.mark.slow
 def test_capture_radius_profile(rig):
     # Measure the radius profile along a fixed random direction and print
     # it (the quantified record; magnitudes beyond the basin MAY fail —

@@ -119,6 +119,7 @@ class TestCompactLoss:
         np.testing.assert_allclose(ld, lc, rtol=1e-5, atol=1e-5)
         assert ld[0] > 100.0  # background mismatch dominates
 
+    @pytest.mark.slow
     def test_gradient_matches_dense(self):
         Tc, lp, K = _poses()
         rd = _renderer(CFG_DENSE)
@@ -229,6 +230,7 @@ class TestBoundaryPrefixBackward:
         # the map covers no more chunks than the forward
         assert (nl > 0).sum() <= (fnl > 0).sum()
 
+    @pytest.mark.slow
     def test_gradient_matches_full_map(self):
         Tc, lp, K = _poses()
         r_full = _renderer(CFG_COMPACT._replace(bwd_band_only=True))
@@ -251,6 +253,7 @@ class TestBoundaryPrefixBackward:
             np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-7
         )
 
+    @pytest.mark.slow
     def test_gradient_matches_dense_band_only(self):
         # end-to-end: reduced-map compact vs the dense fused path
         Tc, lp, K = _poses()
@@ -305,6 +308,7 @@ class TestBoundaryPrefixBackward:
 
 
 class TestRowSubsortedBins:
+    @pytest.mark.slow
     def test_loss_and_grad_match_unsorted(self):
         # Row-sub-classed bin ordering is semantically free: identical loss,
         # gradient equal up to summation-order roundoff.

@@ -228,6 +228,7 @@ class TestLiveGeometryAdaptation:
         # converged on the ADAPTED resolution
         assert result.metrics["err_trans_geodesic_cm"] < 2.0
 
+    @pytest.mark.slow
     def test_midrun_resolution_change_raises(self, rig, tmp_path):
         from easyhec_tpu.io.interfaces import RendererMaskSource, SimArm, SimCamera
         from easyhec_tpu.render import RobotRenderer, TileConfig

@@ -155,7 +155,10 @@ class TestFusedGradient:
 
         return xi0, loss_fused, loss_ref
 
-    @pytest.mark.parametrize("cull", [False, True])
+    @pytest.mark.parametrize(
+        "cull",
+        [pytest.param(False, marks=pytest.mark.slow), True],
+    )
     def test_grad_matches_unfused(self, cull):
         xi0, loss_fused, loss_ref = self._loss_pair(cull)
         vf, gf = jax.value_and_grad(loss_fused)(xi0)
@@ -259,7 +262,9 @@ class TestFusedLossKernel:
     """pose_tile_loss: the loss+gradient fused kernel must match the
     unfused silhouette-then-loss pipeline exactly (value and pose grad)."""
 
-    @pytest.mark.parametrize("hw", [(64, 64), (50, 70)])
+    @pytest.mark.parametrize(
+        "hw", [(64, 64), pytest.param((50, 70), marks=pytest.mark.slow)]
+    )
     def test_loss_and_grad_match_unfused(self, hw):
         from easyhec_tpu.models.calib import mask_loss
 
@@ -280,6 +285,7 @@ class TestFusedLossKernel:
         scale = np.abs(gr).max()
         np.testing.assert_allclose(gf, gr, atol=2e-3 * scale, rtol=2e-3)
 
+    @pytest.mark.slow
     def test_robust_delta_matches(self):
         from easyhec_tpu.models.calib import mask_loss
 

@@ -4,7 +4,7 @@ reference assets, 1000 optimizer steps per round — with bin-overflow guard
 assertions. Slow-marked and TPU-gated (CPU interpret-mode Pallas at 0.9 MP
 is not a meaningful rehearsal); run on hardware:
 
-    JAX_PLATFORMS=axon pytest tests/test_online_scale.py -m slow -q
+    EASYHEC_TEST_TPU=1 pytest tests/test_online_scale.py -m slow -q
 """
 import pathlib
 import time

@@ -171,7 +171,10 @@ class TestShardedProductionSettings:
         link_idx = jnp.asarray([chain.link_index(n) for n in links])
         return chain, full, band, link_idx
 
-    @pytest.mark.parametrize("variant", sorted(_PROD_TILE_VARIANTS))
+    @pytest.mark.parametrize(
+        "variant",
+        [pytest.param("compact", marks=pytest.mark.slow), "dense"],
+    )
     def test_matches_single_chip_run(self, tmp_path, variant):
         from easyhec_tpu.models.calib import calibrate
 

@@ -38,6 +38,7 @@ class TestTiledVsBrute:
         b = np.asarray(silhouette_tiled(tris, 48, 96, CFG))
         np.testing.assert_allclose(a, b, atol=1e-4)
 
+    @pytest.mark.slow
     def test_silhouette_batched_matches(self):
         tris = random_scene(jax.random.PRNGKey(1), 30, 48, 96, batch=(3,))
         a = np.asarray(silhouette_bruteforce(tris, 48, 96))
@@ -45,6 +46,7 @@ class TestTiledVsBrute:
         assert b.shape == (3, 48, 96)
         np.testing.assert_allclose(a, b, atol=1e-4)
 
+    @pytest.mark.slow
     def test_xla_path_chunked_matches_brute(self):
         # cap > 256 and n_tiles > 64 cross both memory-bounding branches of
         # the XLA fallback (record-chunk scan + tile-block map). Forward must
@@ -155,6 +157,7 @@ class TestSpanClassedBinning:
         b = np.asarray(silhouette_tiled(tris, 48, 96, self.CFG_BIG))
         np.testing.assert_allclose(a, b, atol=1e-4)
 
+    @pytest.mark.slow
     def test_gradient_matches_dense(self):
         # The q transpose map (pack backward) must stay exact with the
         # classed layout (base columns + scattered big-window columns).
