@@ -20,7 +20,12 @@ from ..render.renderer import RobotRenderer
 from ..robot import KinematicChain
 from .dataset import save_calib_dataset
 
-__all__ = ["sample_qposes", "generate_dataset", "split_dataset"]
+__all__ = [
+    "sample_qposes",
+    "make_render_fn",
+    "generate_dataset",
+    "split_dataset",
+]
 
 
 def sample_qposes(
@@ -46,43 +51,27 @@ def _face_normals(renderer: RobotRenderer, Tc_c2l: jax.Array) -> jax.Array:
     return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
 
-def generate_dataset(
-    out_dir: str | Path,
+def make_render_fn(
     chain: KinematicChain,
     renderer: RobotRenderer,
     link_names: list[str],
-    Tc_c2b: np.ndarray,
     K: np.ndarray,
-    n_frames: int = 10,
-    seed: int = 0,
-    limit_fraction: float = 0.5,
-    qposes: np.ndarray | None = None,
-    write_depth: bool = False,
-) -> dict[str, np.ndarray]:
-    """Render a GT dataset in the reference-compatible directory layout.
-
-    Returns {"masks", "qpos", "rgb", "depth"} for in-memory use as well.
-    """
-    key = jax.random.PRNGKey(seed)
-    if qposes is None:
-        qposes = sample_qposes(key, chain, n_frames, limit_fraction)
-    qposes = jnp.asarray(qposes, jnp.float32)
+):
+    """One jitted (Tc_c2b [4,4], qposes [B, n_dof]) -> (masks, depth,
+    link_id, gray) for the synthetic generator. Build ONCE and reuse across
+    camera views / qpos batches of the same shape — per-call jit closures
+    recompile for every view (measured ~40 s/view on the tunneled chip,
+    dominating multi-view dataset generation)."""
     link_idx = jnp.asarray([chain.link_index(n) for n in link_names])
-    Tc = jnp.asarray(Tc_c2b, jnp.float32)
     Kj = jnp.asarray(K, jnp.float32)
 
     @jax.jit
-    def render(qs):
+    def render(Tc, qs):
         lp = jax.vmap(chain.fk)(qs)[:, link_idx]  # [B, L, 4, 4]
         masks = renderer.silhouette(Tc, lp, Kj)
         depth, link_id = renderer.depth(Tc, lp, Kj)
-        return masks, depth, link_id, lp
 
-    masks, depth, link_id, lp = render(qposes)
-
-    # Flat-shaded RGB: lambertian from the hit face's camera-frame normal.
-    @jax.jit
-    def shade(lp_b, link_id_b, depth_b):
+        # Flat-shaded gray: lambertian from the hit face's camera normal.
         def one(lp_f, ids, d):
             Tc_c2l = renderer.camera_link_poses(Tc, lp_f)
             normals = _face_normals(renderer, Tc_c2l)  # [F, 3]
@@ -101,9 +90,42 @@ def generate_dataset(
             img = jnp.where(tid >= 0, base, 0.08)  # dark background
             return img
 
-        return jax.vmap(one)(lp_b, link_id_b, depth_b)
+        gray = jax.vmap(one)(lp, link_id, depth)
+        return masks, depth, link_id, gray
 
-    gray = np.asarray(shade(lp, link_id, depth))
+    return render
+
+
+def generate_dataset(
+    out_dir: str | Path,
+    chain: KinematicChain,
+    renderer: RobotRenderer,
+    link_names: list[str],
+    Tc_c2b: np.ndarray,
+    K: np.ndarray,
+    n_frames: int = 10,
+    seed: int = 0,
+    limit_fraction: float = 0.5,
+    qposes: np.ndarray | None = None,
+    write_depth: bool = False,
+    render_fn=None,
+) -> dict[str, np.ndarray]:
+    """Render a GT dataset in the reference-compatible directory layout.
+
+    Returns {"masks", "qpos", "rgb", "depth"} for in-memory use as well.
+    Pass render_fn (from make_render_fn) to amortize compilation across
+    calls with the same frame-batch shape.
+    """
+    key = jax.random.PRNGKey(seed)
+    if qposes is None:
+        qposes = sample_qposes(key, chain, n_frames, limit_fraction)
+    qposes = jnp.asarray(qposes, jnp.float32)
+    Tc = jnp.asarray(Tc_c2b, jnp.float32)
+    if render_fn is None:
+        render_fn = make_render_fn(chain, renderer, link_names, K)
+
+    masks, depth, link_id, gray = render_fn(Tc, qposes)
+    gray = np.asarray(gray)
     rgb = (np.repeat(gray[..., None], 3, axis=-1) * 255).astype(np.uint8)
 
     masks_np = np.asarray(masks)

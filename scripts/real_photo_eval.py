@@ -46,7 +46,11 @@ RES = 320  # train/infer resolution (U-Net is fully convolutional; 320 = 2^6*5)
 # (48 -> 480 frames), more capacity (base 16 -> 24), per-link albedo ON,
 # plus specular highlights, clutter compositing and wider jitter (below).
 N_FRAMES = int(os.environ.get("SEG_FRAMES", "480"))
-N_VIEWS = max(4, N_FRAMES // 40)
+# Small per-view batches: the depth/link-id render of a B-frame batch at
+# 320x320 materializes O(B * tiles * cap) intermediates (a 40-frame batch
+# compiled to a 37 GB allocation on a 16 GB chip); 6 frames/view also
+# gives 80 distinct viewpoints — better coverage than 12.
+N_VIEWS = max(4, N_FRAMES // 6)
 HOLDOUT_VIEWS = 2  # views excluded from training; the honest holdout IoU
 STEPS = int(os.environ.get("SEG_STEPS", "2500"))
 BASE = int(os.environ.get("SEG_BASE", "24"))
@@ -117,10 +121,11 @@ def make_training_set(seed: int = 0):
     on trained-on frames; round-3 advisor finding).
     """
     import jax
+    import jax.numpy as jnp
 
     from easyhec_tpu.data.synthetic import (
         default_camera,
-        generate_dataset,
+        make_render_fn,
         sample_qposes,
     )
 
@@ -131,6 +136,10 @@ def make_training_set(seed: int = 0):
     )
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
+    # ONE jitted render reused across every view (per-view jit closures
+    # recompiled ~40 s/view); small per-view batches bound the depth
+    # pass's O(B·tiles·cap) intermediates.
+    render_fn = make_render_fn(chain, renderer, names, K)
 
     rgbs, masks, lids, depths, views = [], [], [], [], []
     per_view = N_FRAMES // N_VIEWS
@@ -143,20 +152,16 @@ def make_training_set(seed: int = 0):
         )
         key, sub = jax.random.split(key)
         qs = sample_qposes(sub, chain, per_view, limit_fraction=0.55)
-        data = generate_dataset(
-            EVAL / "synth" / f"view{v}",
-            chain,
-            renderer,
-            names,
-            Tc,
-            K,
-            n_frames=per_view,
-            qposes=np.asarray(qs),
+        m, d, lid_v, gray = render_fn(
+            jnp.asarray(Tc, jnp.float32), jnp.asarray(qs, jnp.float32)
         )
-        rgbs.append(data["rgb"])
-        masks.append(data["masks"])
-        lids.append(data["link_id"])
-        depths.append(data["depth"])
+        g = np.asarray(gray)
+        rgbs.append(
+            (np.repeat(g[..., None], 3, axis=-1) * 255).astype(np.uint8)
+        )
+        masks.append(np.asarray(m))
+        lids.append(np.asarray(lid_v))
+        depths.append(np.asarray(d))
         views.extend([v] * per_view)
     rgb = np.concatenate(rgbs)
     mask = (np.concatenate(masks) > 0.5).astype(np.float32)
