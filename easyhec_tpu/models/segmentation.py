@@ -101,8 +101,13 @@ def train_segmenter(
     tgts = jnp.asarray(masks, jnp.float32)
     n = imgs.shape[0]
 
+    # imgs/tgts enter as jit ARGUMENTS, not closure captures: a closed-over
+    # array is baked into the program as a constant, and a 100s-of-MB
+    # training set blows the remote-compile payload limit on tunneled TPU
+    # runtimes (HTTP 413) — as an argument it transfers once and stays
+    # device-resident.
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, key, imgs, tgts):
         k1, k2, k3 = jax.random.split(key, 3)
         idx = jax.random.randint(k1, (batch_size,), 0, n)
         xb, yb = imgs[idx], tgts[idx]
@@ -122,7 +127,7 @@ def train_segmenter(
     loss = jnp.inf
     for i in range(steps):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
+        params, opt_state, loss = step(params, opt_state, sub, imgs, tgts)
     return params, float(loss)
 
 

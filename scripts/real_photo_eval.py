@@ -42,9 +42,12 @@ REFERENCE_ASSETS = pathlib.Path("/root/reference/assets")
 import os
 
 RES = 320  # train/infer resolution (U-Net is fully convolutional; 320 = 2^6*5)
-# Round-4 defaults implement the report's augmentation plan: 10x the data
-# (48 -> 480 frames), more capacity (base 16 -> 24), per-link albedo ON,
-# plus specular highlights, clutter compositing and wider jitter (below).
+# Round-4 defaults = the measured WINNER of the augmentation ablation
+# (docs/real_photo_eval/report.md): 10x data (480 frames, 80 views) +
+# capacity base 24, with NO compositing-level appearance randomization —
+# every extra knob (per-link albedo, specular, clutter, tone jitter) was
+# implemented, measured, and found to HURT real transfer on this domain;
+# the knobs remain for reproduction of the ablation rows.
 N_FRAMES = int(os.environ.get("SEG_FRAMES", "480"))
 # Small per-view batches: the depth/link-id render of a B-frame batch at
 # 320x320 materializes O(B * tiles * cap) intermediates (a 40-frame batch
@@ -55,10 +58,11 @@ HOLDOUT_VIEWS = 2  # views excluded from training; the honest holdout IoU
 STEPS = int(os.environ.get("SEG_STEPS", "2500"))
 BASE = int(os.environ.get("SEG_BASE", "24"))
 # Ablation knobs (docs/real_photo_eval/report.md records all variants):
-ALBEDO = os.environ.get("SEG_ALBEDO", "1") == "1"  # per-link albedo jitter
+ALBEDO = os.environ.get("SEG_ALBEDO", "0") == "1"  # per-link albedo jitter
 ALL_LINKS = os.environ.get("SEG_ALL_LINKS", "1") == "1"  # + base/gripper
-SPECULAR = os.environ.get("SEG_SPECULAR", "1") == "1"  # Blinn-Phong lobe
-CLUTTER = os.environ.get("SEG_CLUTTER", "1") == "1"  # bright quads/strips
+SPECULAR = os.environ.get("SEG_SPECULAR", "0") == "1"  # Blinn-Phong lobe
+CLUTTER = os.environ.get("SEG_CLUTTER", "0") == "1"  # bright quads/strips
+TONE = os.environ.get("SEG_TONE", "0") == "1"  # exposure/gamma jitter
 
 
 def build_xarm_scene(H: int, W: int):
@@ -105,16 +109,11 @@ def _depth_normals(depth: np.ndarray, f: float) -> np.ndarray:
 
 def make_training_set(seed: int = 0):
     """Flat-shaded synthetic renders at varied qposes x camera poses,
-    composited with the full augmentation plan of
-    docs/real_photo_eval/report.md:
-
-      1. per-link ALBEDO randomization (dark gripper vs white links —
-         forces shape cues over brightness cues),
-      2. SPECULAR Blinn-Phong lobe from depth-derived screen-space
-         normals + exposure/gamma jitter (bloom on glossy links),
-      3. CLUTTER: random bright quads/strips behind the arm (table edge /
-         clamp stand-ins) over the gray-level + noise + gradient curtain,
-      4. 10x data (480 frames, 12 views) at base=24 capacity.
+    composited over randomized curtain-like backgrounds (gray level +
+    noise + soft gradient). The optional knobs (ALBEDO/SPECULAR/CLUTTER/
+    TONE) implement the r3 report's augmentation plan — each was measured
+    and found to HURT real transfer (report.md ablation table), so they
+    default OFF; what worked was scale (480 frames / 80 views, base 24).
 
     Returns (rgb, mask, view_id) — the caller holds out whole VIEWS for
     the honest synthetic-holdout metric (the pre-r4 "holdout" was scored
@@ -175,7 +174,18 @@ def make_training_set(seed: int = 0):
     W = out.shape[2]
     for i in range(out.shape[0]):
         if ALBEDO:
-            alb = rng.uniform(0.15, 1.0, (L,))
+            # BIMODAL per-link albedo matching the real arm's appearance
+            # statistics: links are mostly glossy white, with a few
+            # near-black parts (gripper shell, fingers, cable). The r4
+            # ablation showed uniform(0.15, 1.0) albedo HURTS transfer
+            # (0.765 vs 0.861 without): mid-gray links blend into the
+            # randomized mid-gray backgrounds and teach brightness
+            # ambiguity everywhere, while the real domain only ever shows
+            # white-ish or near-black parts.
+            dark = rng.random(L) < 0.25
+            alb = np.where(
+                dark, rng.uniform(0.06, 0.3, L), rng.uniform(0.8, 1.05, L)
+            )
             out[i] *= np.where(
                 lid[i] >= 0, alb[np.clip(lid[i], 0, L - 1)], 1.0
             )[..., None]
@@ -208,11 +218,15 @@ def make_training_set(seed: int = 0):
         bg3 = np.repeat(np.clip(bg, 0, 1)[..., None], 3, axis=-1)
         m = mask[i][..., None]
         out[i] = m * out[i] + (1 - m) * bg3
-        # exposure/gamma jitter over the WHOLE composite (bloom/camera
-        # response; the train loop adds brightness/contrast on top)
-        out[i] = np.clip(out[i] * rng.uniform(0.8, 1.25), 0, 1) ** rng.uniform(
-            0.7, 1.4
-        )
+        if TONE:
+            # MILD exposure/gamma jitter over the whole composite (the
+            # initial 0.8-1.25 x gamma 0.7-1.4 range collapsed real
+            # transfer to 0.24 — wide tone warps push the white links into
+            # the gray-background band; the train loop already adds
+            # brightness/contrast jitter on top)
+            out[i] = np.clip(
+                out[i] * rng.uniform(0.92, 1.1), 0, 1
+            ) ** rng.uniform(0.9, 1.12)
     rgb = (np.clip(out, 0, 1) * 255).astype(np.uint8)
     return rgb, mask, view_id
 
@@ -321,6 +335,7 @@ def main() -> None:
         "all_links": ALL_LINKS,
         "specular": SPECULAR,
         "clutter": CLUTTER,
+        "tone_jitter": TONE,
     }
     (EVAL / "result.json").write_text(json.dumps(result, indent=1))
     print(json.dumps(result), flush=True)
