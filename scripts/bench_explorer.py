@@ -70,10 +70,12 @@ def main() -> int:
     margin = float(os.environ.get("EXP_MARGIN", "8.0"))
     fused = os.environ.get("EXP_FUSED", "1") == "1"
     nc = int(os.environ.get("EXP_COMPACT", "96"))  # audit: 59 needed @ m8
+    ry = int(os.environ.get("EXP_RECT_Y", "3"))
+    rx = int(os.environ.get("EXP_RECT_X", "2"))
     renderer = RobotRenderer(
         mesh_list, H, W,
-        tile=TileConfig(th, tw, cap, True, binner="count", rect_y=3,
-                        rect_x=2, margin=margin, cull_backfaces=True,
+        tile=TileConfig(th, tw, cap, True, binner="count", rect_y=ry,
+                        rect_x=rx, margin=margin, cull_backfaces=True,
                         fused=fused, bin_big_k=big_k,
                         compact_chunks=nc if fused else 0),
     )

@@ -44,7 +44,9 @@ links = ["base", "upper", "fore"]
 meshes = load_link_meshes(model, link_names=links)
 W, BAND_H, N_TILE = 64, 24, 2
 H = BAND_H * N_TILE
-cfg = TileConfig(8, 32, 64, binner="count", fused=True, margin=2.0)
+# cap 128 covers the mini rig's true bin loads (~96; sharded_calibrate
+# raises on any rebin overflow since r4 — the old cap 64 truncated)
+cfg = TileConfig(8, 32, 128, binner="count", fused=True, margin=2.0)
 full = RobotRenderer([meshes[n] for n in links], H, W, tile=cfg)
 band = RobotRenderer([meshes[n] for n in links], BAND_H, W, tile=cfg)
 li = jnp.asarray([chain.link_index(n) for n in links])

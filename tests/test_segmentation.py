@@ -76,8 +76,10 @@ class TestSegmenter:
         chain = build_chain(model)
         links = ["base", "upper", "fore"]
         meshes = load_link_meshes(model, link_names=links)
+        # cap 192 covers this rig's true bin loads (~96 + drift headroom;
+        # calibrate raises on overflow since r4 — the old cap 64 truncated)
         renderer = RobotRenderer(
-            [meshes[n] for n in links], 64, 64, tile=TileConfig(16, 32, 64)
+            [meshes[n] for n in links], 64, 64, tile=TileConfig(16, 32, 192)
         )
         Kc = np.array([[70.0, 0, 32], [0, 70.0, 32], [0, 0, 1]], np.float32)
         Tc = default_camera(distance=1.0, azimuth_deg=30, height=0.6,
