@@ -125,8 +125,13 @@ def main() -> int:
     #   materializes per-triangle coverage intermediates for every local
     #   frame at once — OOM-killed at 130 GB. frame_chunk=1 (remat over
     #   frame blocks, parallel.sharding) bounds it to one frame's render.
+    # cap 1408 covers the audited TRUE loads of this scene (bin_audit at
+    # 1080p f=1400 ring-view: max 1112, span 8x2) — the r3 record
+    # (CONFIG5_DRYRUN.json) ran cap 512, i.e. its XLA-path renders
+    # truncated dense tiles; its memory-bounded-execution conclusion
+    # stands but its wall times are optimistic. rect 8x3 covers the span.
     tile = TileConfig(
-        16, 128, 512, False, binner="count", rect_y=5, rect_x=3, margin=2.0,
+        16, 128, 1408, False, binner="count", rect_y=8, rect_x=3, margin=2.0,
         cull_backfaces=True, bin_big_k=2048,
     )
     band = RobotRenderer(mesh_list, band_h, W, tile=tile)
