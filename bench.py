@@ -54,7 +54,16 @@ REFERENCE_ASSETS = pathlib.Path("/root/reference/assets")
 BASELINE_PIX_S = 34e6
 NUM_STEPS = int(os.environ.get("BENCH_STEPS", "1000"))
 CHUNK = 100
-REBIN = 12
+# Rebin policy: ADAPTIVE (default) rebuilds the tile bins inside the scan
+# whenever the pose has drifted more than (margin - 0.8) px from the
+# state's build pose — checked BEFORE every render, so no render ever
+# uses stale bins. BENCH_REBIN=N selects the legacy fixed cadence, which
+# a post-run guard now audits: at N=12 (the r1-r3 operating point) the
+# EARLY windows of the misaligned trajectory drift up to ~8 px past the
+# 2 px margin (measured via the probe-point guard) — the adaptive policy
+# replaces that silent staleness with per-step exactness and rebins the
+# converged tail essentially never.
+REBIN = int(os.environ.get("BENCH_REBIN", "0"))  # 0 = adaptive
 METRIC = "pixels_rasterized_per_s_per_chip_fwd_bwd"
 
 _CHILD_ENV = "EASYHEC_BENCH_CHILD"
@@ -169,49 +178,133 @@ def run_bench() -> dict:
         "adam", max_lr=3e-3, total_steps=NUM_STEPS, scheduler="constant"
     )
 
-    @jax.jit
-    def run_chunk(dof, opt_state):
-        def outer(carry, _):
-            dof, opt_state = carry
-            state = renderer.bin_state(se3.exp(dof), lp, K)
+    # Probe points for the rebin DRIFT guard: bins built at the window's
+    # start pose stay exact only while projected geometry moves less than
+    # the binning margin; overflow flags do NOT catch drift past it. The
+    # guard projects the scene's link origins under the start and end
+    # poses of every rebin window and asserts the max pixel displacement
+    # stays inside margin minus the soft-coverage band — making LARGER
+    # rebin_every values honest rather than silently stale.
+    probes = lp[..., :3, 3].reshape(-1, 3)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
 
+    def probe_pix(d):
+        T = se3.exp(d)
+        pc = probes @ T[:3, :3].T + T[:3, 3]
+        z = jnp.maximum(pc[:, 2], 0.05)
+        return jnp.stack(
+            [fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], axis=-1
+        )
+
+    drift_budget = float(renderer.tile.margin) - 0.8
+
+    if REBIN > 0:
+
+        @jax.jit
+        def run_chunk(dof, opt_state, state, pix0):
+            def outer(carry, _):
+                dof, opt_state = carry
+                state = renderer.bin_state(se3.exp(dof), lp, K)
+                pix0 = probe_pix(dof)
+
+                def step(c, _):
+                    dof, opt_state = c
+                    loss, g = jax.value_and_grad(
+                        lambda d: mask_loss(d, renderer, lp, K, target,
+                                            bin_state=state,
+                                            ref_tiles=ref_tiles)
+                    )(dof)
+                    u, opt_state2 = opt.update(g, opt_state, dof)
+                    return (dof + u, opt_state2), loss
+
+                inner, losses = jax.lax.scan(
+                    step, (dof, opt_state), None, length=REBIN
+                )
+                drift = jnp.max(jnp.abs(probe_pix(inner[0]) - pix0))
+                return inner, (losses, jnp.any(state.overflow), drift)
+
+            (dof, opt_state), (losses, ovs, drifts) = jax.lax.scan(
+                outer, (dof, opt_state), None, length=CHUNK // REBIN + 1
+            )
+            # ALL executed steps' losses are reported and counted:
+            # (CHUNK//REBIN+1)*REBIN steps per chunk, matching
+            # steps_per_chunk below. Per-rebin overflow flags and the max
+            # in-window drift come out so the caller can assert the bins
+            # never truncated NOR went stale anywhere in the trajectory.
+            return (
+                dof, opt_state, state, pix0, losses.reshape(-1),
+                jnp.zeros((), jnp.int32), jnp.any(ovs), jnp.max(drifts),
+            )
+
+        steps_per_chunk = (CHUNK // REBIN + 1) * REBIN
+    else:
+
+        @jax.jit
+        def run_chunk(dof, opt_state, state, pix0):
             def step(c, _):
-                dof, opt_state = c
+                dof, opt_state, state, pix0, nreb, ov = c
+                drift = jnp.max(jnp.abs(probe_pix(dof) - pix0))
+                need = drift > drift_budget
+
+                def rebuild(_):
+                    return (
+                        renderer.bin_state(se3.exp(dof), lp, K),
+                        probe_pix(dof),
+                    )
+
+                def keep(_):
+                    return state, pix0
+
+                state2, pix2 = jax.lax.cond(need, rebuild, keep, None)
                 loss, g = jax.value_and_grad(
                     lambda d: mask_loss(d, renderer, lp, K, target,
-                                        bin_state=state, ref_tiles=ref_tiles)
+                                        bin_state=state2,
+                                        ref_tiles=ref_tiles)
                 )(dof)
                 u, opt_state2 = opt.update(g, opt_state, dof)
-                return (dof + u, opt_state2), loss
+                return (
+                    dof + u, opt_state2, state2, pix2,
+                    nreb + need.astype(jnp.int32),
+                    ov | jnp.any(state2.overflow),
+                ), loss
 
-            inner, losses = jax.lax.scan(step, (dof, opt_state), None, length=REBIN)
-            return inner, (losses, jnp.any(state.overflow))
+            (dof, opt_state, state, pix0, nreb, ov), losses = jax.lax.scan(
+                step,
+                (dof, opt_state, state, pix0, jnp.zeros((), jnp.int32),
+                 jnp.zeros((), bool)),
+                None, length=CHUNK,
+            )
+            # Every render is drift-exact by construction (the budget is
+            # checked against the CURRENT pose before each render); the
+            # reported drift is bounded by the budget, so only overflow
+            # and the rebin count come out.
+            return (
+                dof, opt_state, state, pix0, losses, nreb, ov,
+                jnp.zeros(()),
+            )
 
-        (dof, opt_state), (losses, ovs) = jax.lax.scan(
-            outer, (dof, opt_state), None, length=CHUNK // REBIN + 1
-        )
-        # ALL executed steps' losses are reported and counted:
-        # (CHUNK//REBIN+1)*REBIN steps per chunk, matching steps_per_chunk
-        # below — the accounting covers exactly the work done. The per-rebin
-        # overflow flags come out too so the caller can assert the bins
-        # never truncated anywhere in the trajectory.
-        return dof, opt_state, losses.reshape(-1), jnp.any(ovs)
+        steps_per_chunk = CHUNK
 
     d0 = xi + 0.01
-    steps_per_chunk = (CHUNK // REBIN + 1) * REBIN
     n_chunks = -(-NUM_STEPS // steps_per_chunk)
+    pix00 = jax.jit(probe_pix)(xi)
 
     # warm/compile
-    dof, opt_state, _, ov = run_chunk(d0, opt.init(d0))
-    np.asarray(dof)
+    out = run_chunk(d0, opt.init(d0), st0, pix00)
+    np.asarray(out[0])
 
-    dof, opt_state = d0, opt.init(d0)
-    all_losses, all_ov = [], [ov]
+    dof, opt_state, state, pix0 = d0, opt.init(d0), st0, pix00
+    all_losses, all_ov, all_dr, all_nreb = [], [], [], []
     t0 = time.time()
     for _ in range(n_chunks):
-        dof, opt_state, losses, ov = run_chunk(dof, opt_state)
+        dof, opt_state, state, pix0, losses, nreb, ov, dr = run_chunk(
+            dof, opt_state, state, pix0
+        )
         all_losses.append(losses)  # device arrays; no sync inside the loop
         all_ov.append(ov)
+        all_dr.append(dr)
+        all_nreb.append(nreb)
     dof = np.asarray(dof)  # readback = true completion
     dt = time.time() - t0
     n_steps = n_chunks * steps_per_chunk
@@ -219,6 +312,15 @@ def run_bench() -> dict:
     assert not any(bool(np.asarray(o)) for o in all_ov), (
         "bin overflow during the optimization trajectory — raise BENCH_CAP"
     )
+    margin = float(renderer.tile.margin)
+    if REBIN > 0:
+        max_drift = max(float(np.asarray(d)) for d in all_dr)
+        assert max_drift < margin - 0.6, (
+            "pose drift exceeded the binning margin within a rebin window "
+            "— bins went stale (use adaptive BENCH_REBIN=0 or raise "
+            "margin)", max_drift, margin,
+        )
+    n_rebins = int(sum(int(np.asarray(n)) for n in all_nreb))
     losses = np.concatenate([np.asarray(l) for l in all_losses])
     assert np.isfinite(dof).all() and losses[-1] < 0.2 * losses[0], (
         "loop not converging", float(losses[0]), float(losses[-1]),
@@ -230,6 +332,8 @@ def run_bench() -> dict:
         "value": round(pix_per_s),
         "unit": "pixels/s",
         "vs_baseline": round(pix_per_s / BASELINE_PIX_S, 3),
+        "rebin_policy": "adaptive" if REBIN == 0 else f"every {REBIN}",
+        "n_rebins": n_rebins,
     }
 
 

@@ -104,7 +104,10 @@ class SolverConfig:
     explore_iters: int = 5
     grad_clip: float = 0.0  # 0 = off
     robust_delta: float = 0.0  # >0: Huber downweighting of outlier frames
-    rebin_every: int = 8  # reuse rasterizer tile bins for N steps (count binner)
+    rebin_every: int = 0  # 0 = ADAPTIVE rebinning (bins rebuilt exactly
+    #                 when pose drift exceeds the binning-margin budget —
+    #                 drift-exact for every render and faster than any
+    #                 fixed cadence); N > 0 = rebuild every N steps
     weight_decay: float = 0.0
     log_interval: int = 100
     save_freq: int = 100

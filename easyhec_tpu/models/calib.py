@@ -251,11 +251,35 @@ def _calibrate_chunk(
 
     # Renderers with reusable bin states always go through the explicit
     # bin_state path (even at rebin_every=1) so the per-rebin overflow flag
-    # is threaded out of the scan; 0 = no bin state (brute/XLA paths, where
-    # the trainer's initial-pose pre-check is the only guard).
+    # is threaded out of the scan. rebin_every == 0 selects ADAPTIVE
+    # rebinning (see opt_scan): probe points = the frames' link origins,
+    # budget = binning margin minus soft-band/safety. Non-reusable
+    # renderers (brute/XLA) run stateless (the trainer's initial-pose
+    # pre-check is the only guard there).
+    probe_fn = None
+    budget = 0.0
+    if reuse_bins_ok(renderer):
+        eff = max(1, rebin_every)
+        if rebin_every == 0:
+            probes = link_poses[..., :3, 3].reshape(-1, 3)
+            fx, fy = K[0, 0], K[1, 1]
+            cx, cy = K[0, 2], K[1, 2]
+
+            def probe_fn(d):
+                T = se3.exp(d)
+                pc = probes @ T[:3, :3].T + T[:3, 3]
+                z = jnp.maximum(pc[:, 2], 0.05)
+                return jnp.stack(
+                    [fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy],
+                    axis=-1,
+                )
+
+            budget = max(float(renderer.tile.margin) - 0.8, 0.5)
+    else:
+        eff = 0
     return opt_scan(
-        dof, opt_state, opt, loss_of, bin_state_of, chunk,
-        max(1, rebin_every) if reuse_bins_ok(renderer) else 0,
+        dof, opt_state, opt, loss_of, bin_state_of, chunk, eff,
+        probe_fn=probe_fn, drift_budget=budget,
     )
 
 
@@ -270,7 +294,8 @@ def reuse_bins_ok(renderer: RobotRenderer) -> bool:
 
 
 def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
-             rebin_every: int = 1, combine=None):
+             rebin_every: int = 1, combine=None, probe_fn=None,
+             drift_budget: float = 0.0):
     """The shared optimizer scan: `chunk` Adam steps with amortized
     rebinning. loss_of(dof, bin_state) -> scalar; bin_state_of(dof) ->
     renderer bin state. Used identically by the single-chip path and (under
@@ -281,6 +306,19 @@ def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
     trajectory, not just the initial pose). rebin_every < 1 disables bin
     states entirely (overflow reported False — callers must guard
     otherwise).
+
+    ADAPTIVE rebinning (probe_fn + drift_budget > 0, with rebin_every >=
+    1): instead of a fixed cadence, the bin state rides the scan carry and
+    is rebuilt via lax.cond whenever the pose has drifted more than
+    drift_budget px from the state's build pose — checked against
+    probe_fn(dof) BEFORE every render, so no render ever uses bins whose
+    geometry moved past the binning margin. A fixed cadence is only exact
+    while per-window drift stays under the margin; a misaligned start
+    violates that silently (a 640x480 bench trajectory measured 8.5 px of
+    drift in one 24-step window against a 2 px margin), while the
+    converged tail needs almost no rebins at all (16 rebins in 1000 steps
+    measured, all in the first ~300). probe_fn(dof) -> [P, 2] pixel
+    positions of scene probe points; budget = tile.margin - band - safety.
 
     combine: sharded-path hook. When set, loss_of must return
     (local_objective, local_true_loss) and combine(true_loss, grad) ->
@@ -321,6 +359,31 @@ def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
             make_step(None), (dof, opt_state), None, length=chunk
         )
         return dof, opt_state, losses, history, jnp.zeros((), bool)
+
+    if probe_fn is not None and drift_budget > 0:
+        state0 = bin_state_of(dof)
+        pix0 = probe_fn(dof)
+
+        def astep(c, _):
+            dof, opt_state, state, pix, ov = c
+            drift = jnp.max(jnp.abs(probe_fn(dof) - pix))
+            need = drift > drift_budget
+            state, pix = jax.lax.cond(
+                need,
+                lambda _: (bin_state_of(dof), probe_fn(dof)),
+                lambda _: (state, pix),
+                None,
+            )
+            ov = ov | jnp.any(state.overflow)
+            (dof2, opt_state2), ys = make_step(state)((dof, opt_state), None)
+            return (dof2, opt_state2, state, pix, ov), ys
+
+        (dof, opt_state, _, _, ov), (losses, history) = jax.lax.scan(
+            astep,
+            (dof, opt_state, state0, pix0, jnp.any(state0.overflow)),
+            None, length=chunk,
+        )
+        return dof, opt_state, losses, history, ov
 
     inner = min(rebin_every, chunk)
     n_outer = -(-chunk // inner)
@@ -460,6 +523,12 @@ def calibrate(
     rebin of the trajectory saturates a bin (silent truncation = wrong
     gradients — the r2 honesty-audit failure mode); "warn" logs and
     continues; "ignore" skips the per-chunk host sync entirely.
+
+    rebin_every: N > 0 = fixed cadence (bins rebuilt every N steps — only
+    exact while per-window pose drift stays inside the binning margin);
+    0 = ADAPTIVE (bins rebuilt exactly when probe drift exceeds the
+    margin budget — drift-exact for every render AND faster: the
+    converged tail stops rebinning entirely; see opt_scan).
     """
     dof, losses, history, overflowed = _calibrate_scan(
         jnp.asarray(init_dof, jnp.float32),

@@ -198,13 +198,15 @@ def sharded_calibrate(
         scheduler=scheduler, grad_clip=grad_clip,
     )
     # Explicit bin states whenever the renderer supports them (threads the
-    # per-rebin overflow flag out of the scan); 0 = no bin state (the
-    # frame-chunked remat path rebuilds bins inside each block).
-    eff_rebin = (
-        max(1, rebin_every)
-        if reuse_bins_ok(renderer) and frame_chunk <= 0
-        else 0
-    )
+    # per-rebin overflow flag out of the scan); rebin_every == 0 selects
+    # ADAPTIVE rebinning (drift-gated, see models.calib.opt_scan; each
+    # shard gates on its own local probe points — shards may rebin at
+    # different steps, which is exact since every shard's state covers its
+    # own frames). eff 0 = no bin state (the frame-chunked remat path
+    # rebuilds bins inside each block).
+    use_states = reuse_bins_ok(renderer) and frame_chunk <= 0
+    adaptive = use_states and rebin_every == 0
+    eff_rebin = max(1, rebin_every) if use_states else 0
 
     def chunk_fn(n):
         @jax.jit
@@ -297,9 +299,27 @@ def sharded_calibrate(
                     se3.exp(d), lp, Kb, sharpness=sharpness
                 )
 
+            probe_fn = None
+            budget = 0.0
+            if adaptive:
+                probes = lp[..., :3, 3].reshape(-1, 3)
+                fx, fy = Kb[0, 0], Kb[1, 1]
+                cx, cy = Kb[0, 2], Kb[1, 2]
+
+                def probe_fn(d):
+                    T = se3.exp(d)
+                    pc = probes @ T[:3, :3].T + T[:3, 3]
+                    z = jnp.maximum(pc[:, 2], 0.05)
+                    return jnp.stack(
+                        [fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy],
+                        axis=-1,
+                    )
+
+                budget = max(float(renderer.tile.margin) - 0.8, 0.5)
+
             dof, opt_state, losses, history, ov = opt_scan(
                 dof, opt_state, opt, loss_of, bin_state_of, n, eff_rebin,
-                combine=combine,
+                combine=combine, probe_fn=probe_fn, drift_budget=budget,
             )
             # Any shard overflowing truncates the psum'd gradient — reduce
             # the flag across the whole mesh (forward-only).

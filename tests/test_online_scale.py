@@ -71,7 +71,7 @@ def test_xarm7_online_scale_closed_loop(tmp_path):
     cfg.solver.explore_iters = int(
         __import__("os").environ.get("EASYHEC_ONLINE_ROUNDS", "3")
     )
-    cfg.solver.rebin_every = 12
+    cfg.solver.rebin_every = 0  # adaptive (drift-exact), as shipped
     cfg.explorer.n_sample_qposes = 64
     cfg.explorer.n_hypotheses = 10
     cfg.explorer.history_start = 200
