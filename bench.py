@@ -181,23 +181,22 @@ def run_bench() -> dict:
     # Probe points for the rebin DRIFT guard: bins built at the window's
     # start pose stay exact only while projected geometry moves less than
     # the binning margin; overflow flags do NOT catch drift past it. The
-    # guard projects the scene's link origins under the start and end
-    # poses of every rebin window and asserts the max pixel displacement
-    # stays inside margin minus the soft-coverage band — making LARGER
-    # rebin_every values honest rather than silently stale.
-    probes = lp[..., :3, 3].reshape(-1, 3)
-    fx, fy = K[0, 0], K[1, 1]
-    cx, cy = K[0, 2], K[1, 2]
+    # guard projects per-link mesh AABB corners under every frame's FK
+    # (lever-arm-aware — link origins alone underestimate drift for
+    # rotation-dominant updates; r4 advisor) under the start and end poses
+    # of every rebin window and asserts the max pixel displacement stays
+    # inside margin minus the soft-coverage band — making LARGER
+    # rebin_every values honest rather than silently stale. Identical
+    # policy to the product path (models.calib).
+    from easyhec_tpu.models.calib import (
+        adaptive_drift_budget,
+        drift_probe_points,
+        make_drift_probe_fn,
+    )
 
-    def probe_pix(d):
-        T = se3.exp(d)
-        pc = probes @ T[:3, :3].T + T[:3, 3]
-        z = jnp.maximum(pc[:, 2], 0.05)
-        return jnp.stack(
-            [fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], axis=-1
-        )
-
-    drift_budget = float(renderer.tile.margin) - 0.8
+    probe_pix = make_drift_probe_fn(drift_probe_points(renderer, lp), K)
+    drift_budget = adaptive_drift_budget(renderer.tile, 1.0)
+    assert drift_budget > 0, "bench margin/sharpness leave no drift budget"
 
     if REBIN > 0:
 

@@ -51,6 +51,7 @@ class CalibResult:
     history: np.ndarray  # [num_steps, 6] pose per step (explorer input)
     metrics: dict[str, float]  # vs GT when available, else {}
     overflow: bool = False  # any bin overflow seen at any rebin of the run
+    rebins: int = 0  # total bin builds over the run (adaptive: drift-gated)
 
 
 def _use_fused_loss(renderer: RobotRenderer) -> bool:
@@ -252,29 +253,24 @@ def _calibrate_chunk(
     # Renderers with reusable bin states always go through the explicit
     # bin_state path (even at rebin_every=1) so the per-rebin overflow flag
     # is threaded out of the scan. rebin_every == 0 selects ADAPTIVE
-    # rebinning (see opt_scan): probe points = the frames' link origins,
-    # budget = binning margin minus soft-band/safety. Non-reusable
-    # renderers (brute/XLA) run stateless (the trainer's initial-pose
-    # pre-check is the only guard there).
+    # rebinning (see opt_scan): probe points = per-link mesh AABB corners
+    # under each frame's FK (lever-arm-aware), budget = binning margin
+    # minus soft-band/safety — non-positive budget (small margin / low
+    # sharpness) falls back to per-step rebinning. Non-reusable renderers
+    # (brute/XLA) run stateless (the trainer's initial-pose pre-check is
+    # the only guard there).
     probe_fn = None
     budget = 0.0
     if reuse_bins_ok(renderer):
         eff = max(1, rebin_every)
         if rebin_every == 0:
-            probes = link_poses[..., :3, 3].reshape(-1, 3)
-            fx, fy = K[0, 0], K[1, 1]
-            cx, cy = K[0, 2], K[1, 2]
-
-            def probe_fn(d):
-                T = se3.exp(d)
-                pc = probes @ T[:3, :3].T + T[:3, 3]
-                z = jnp.maximum(pc[:, 2], 0.05)
-                return jnp.stack(
-                    [fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy],
-                    axis=-1,
+            budget = adaptive_drift_budget(renderer.tile, sharpness)
+            if budget > 0:
+                probe_fn = make_drift_probe_fn(
+                    drift_probe_points(renderer, link_poses), K
                 )
-
-            budget = max(float(renderer.tile.margin) - 0.8, 0.5)
+            else:
+                budget = 0.0  # adaptive not viable -> rebin every step
     else:
         eff = 0
     return opt_scan(
@@ -293,6 +289,57 @@ def reuse_bins_ok(renderer: RobotRenderer) -> bool:
     )
 
 
+def adaptive_drift_budget(tile, sharpness: float) -> float:
+    """Pixel budget for the adaptive-rebin drift guard:
+    binning margin − soft-coverage band − safety.
+
+    The soft silhouette's coverage ramp extends ~0.5/sharpness px beyond
+    the hard edge (tiled.py's bbox dilation covers margin px), so the
+    reusable-bin contract only holds while probe drift stays under
+    margin − band; 0.3 px safety absorbs probe-set discretization. A
+    non-positive budget means adaptive rebinning is NOT viable for this
+    (margin, sharpness) — callers must fall back to per-step rebinning
+    instead of flooring the budget (advisor r4: the old max(margin−0.8,
+    0.5) floor silently violated the contract for small margins)."""
+    band = 0.5 / max(float(sharpness), 1e-3)
+    return float(tile.margin) - band - 0.3
+
+
+def drift_probe_points(renderer: RobotRenderer, link_poses: jax.Array) -> jax.Array:
+    """[P, 3] base-frame probe points for the adaptive drift guard.
+
+    Per-link mesh AABB corners under every frame's FK — not just link
+    origins: mesh geometry extends beyond the link origin, so under
+    rotation-dominant pose updates true vertex drift exceeds origin drift
+    by the lever-arm ratio (advisor r4, medium). Every vertex lies inside
+    its link's AABB, so the max projected drift over the 8 corners bounds
+    (to first order in the perspective nonlinearity) the drift of every
+    triangle the binning placed."""
+    corners = jnp.asarray(renderer.link_aabb_corners())  # [L, 8, 3]
+    lp = link_poses.reshape((-1,) + link_poses.shape[-3:])  # [B, L, 4, 4]
+    R, t = lp[..., :3, :3], lp[..., :3, 3]
+    pts = jnp.einsum("blij,lcj->blci", R, corners) + t[:, :, None, :]
+    origins = t[:, :, None, :]  # keep origins too (degenerate/thin links)
+    return jnp.concatenate([pts, origins], axis=2).reshape(-1, 3)
+
+
+def make_drift_probe_fn(probes: jax.Array, K: jax.Array):
+    """probe_fn(dof) -> [P, 2] pixel positions of base-frame `probes`
+    under the camera pose se3.exp(dof) and intrinsics K."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+
+    def probe_fn(d):
+        T = se3.exp(d)
+        pc = probes @ T[:3, :3].T + T[:3, 3]
+        z = jnp.maximum(pc[:, 2], 0.05)
+        return jnp.stack(
+            [fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], axis=-1
+        )
+
+    return probe_fn
+
+
 def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
              rebin_every: int = 1, combine=None, probe_fn=None,
              drift_budget: float = 0.0):
@@ -300,12 +347,14 @@ def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
     rebinning. loss_of(dof, bin_state) -> scalar; bin_state_of(dof) ->
     renderer bin state. Used identically by the single-chip path and (under
     shard_map) the sharded path — one optimizer, no fork. Returns
-    (dof, opt_state, losses [chunk], history [chunk, 6], overflow) where
-    overflow = any bin-state overflow flag over the chunk's rebins (drift
-    changes bin loads, so the flag is checked at EVERY rebin of the
-    trajectory, not just the initial pose). rebin_every < 1 disables bin
-    states entirely (overflow reported False — callers must guard
-    otherwise).
+    (dof, opt_state, losses [chunk], history [chunk, 6], overflow, rebins)
+    where overflow = any bin-state overflow flag over the chunk's rebins
+    (drift changes bin loads, so the flag is checked at EVERY rebin of the
+    trajectory, not just the initial pose) and rebins = int32 count of bin
+    builds this chunk (adaptive: 1 initial + each drift-triggered rebuild;
+    fixed cadence: the number of outer windows; no bin states: 0).
+    rebin_every < 1 disables bin states entirely (overflow reported False
+    — callers must guard otherwise).
 
     ADAPTIVE rebinning (probe_fn + drift_budget > 0, with rebin_every >=
     1): instead of a fixed cadence, the bin state rides the scan carry and
@@ -358,14 +407,17 @@ def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
         (dof, opt_state), (losses, history) = jax.lax.scan(
             make_step(None), (dof, opt_state), None, length=chunk
         )
-        return dof, opt_state, losses, history, jnp.zeros((), bool)
+        return (
+            dof, opt_state, losses, history,
+            jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+        )
 
     if probe_fn is not None and drift_budget > 0:
         state0 = bin_state_of(dof)
         pix0 = probe_fn(dof)
 
         def astep(c, _):
-            dof, opt_state, state, pix, ov = c
+            dof, opt_state, state, pix, ov, nrb = c
             drift = jnp.max(jnp.abs(probe_fn(dof) - pix))
             need = drift > drift_budget
             state, pix = jax.lax.cond(
@@ -374,16 +426,18 @@ def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
                 lambda _: (state, pix),
                 None,
             )
+            nrb = nrb + need.astype(jnp.int32)
             ov = ov | jnp.any(state.overflow)
             (dof2, opt_state2), ys = make_step(state)((dof, opt_state), None)
-            return (dof2, opt_state2, state, pix, ov), ys
+            return (dof2, opt_state2, state, pix, ov, nrb), ys
 
-        (dof, opt_state, _, _, ov), (losses, history) = jax.lax.scan(
+        (dof, opt_state, _, _, ov, nrb), (losses, history) = jax.lax.scan(
             astep,
-            (dof, opt_state, state0, pix0, jnp.any(state0.overflow)),
+            (dof, opt_state, state0, pix0, jnp.any(state0.overflow),
+             jnp.ones((), jnp.int32)),
             None, length=chunk,
         )
-        return dof, opt_state, losses, history, ov
+        return dof, opt_state, losses, history, ov, nrb
 
     inner = min(rebin_every, chunk)
     n_outer = -(-chunk // inner)
@@ -401,7 +455,10 @@ def opt_scan(dof, opt_state, opt, loss_of, bin_state_of, chunk: int,
     )
     losses = losses.reshape(-1)[:chunk]
     history = history.reshape(-1, history.shape[-1])[:chunk]
-    return dof, opt_state, losses, history, jnp.any(ovs)
+    return (
+        dof, opt_state, losses, history, jnp.any(ovs),
+        jnp.asarray(n_outer, jnp.int32),
+    )
 
 
 def _calibrate_scan(
@@ -447,9 +504,10 @@ def _calibrate_scan(
             losses.append(jnp.asarray(resume_state["losses"]))
             history.append(jnp.asarray(resume_state["history"]))
     overflowed = False
+    rebins = 0
     while done < num_steps:
         n = min(chunk, num_steps - done)
-        dof, opt_state, l, h, ov = _calibrate_chunk(
+        dof, opt_state, l, h, ov, nrb = _calibrate_chunk(
             dof,
             opt_state,
             link_poses,
@@ -469,6 +527,7 @@ def _calibrate_scan(
         losses.append(l)
         history.append(h)
         done += n
+        rebins += int(np.asarray(nrb))
         if on_overflow != "ignore" and bool(np.asarray(ov)):
             overflowed = True
             msg = (
@@ -489,7 +548,10 @@ def _calibrate_scan(
             state["losses"] = np.asarray(jnp.concatenate(losses))
             state["history"] = np.asarray(jnp.concatenate(history))
             step_hook(done, state)
-    return dof, jnp.concatenate(losses), jnp.concatenate(history), overflowed
+    return (
+        dof, jnp.concatenate(losses), jnp.concatenate(history), overflowed,
+        rebins,
+    )
 
 
 def calibrate(
@@ -530,7 +592,7 @@ def calibrate(
     margin budget — drift-exact for every render AND faster: the
     converged tail stops rebinning entirely; see opt_scan).
     """
-    dof, losses, history, overflowed = _calibrate_scan(
+    dof, losses, history, overflowed, rebins = _calibrate_scan(
         jnp.asarray(init_dof, jnp.float32),
         jnp.asarray(link_poses, jnp.float32),
         jnp.asarray(K, jnp.float32),
@@ -561,6 +623,7 @@ def calibrate(
         history=np.asarray(history),
         metrics=metrics,
         overflow=overflowed,
+        rebins=rebins,
     )
 
 

@@ -188,9 +188,37 @@ class SpaceExplorer:
         return float(np.abs(pix - pix_mean[None]).max())
 
     def _probe_points(self) -> np.ndarray:
+        """Base-frame probe cloud for hypothesis_spread_px.
+
+        Covers FK at several workspace configurations (zero, scaled joint
+        limits, mid) and each renderer link's mesh AABB corners under
+        those configurations — not just zero-qpos link origins: shared-bin
+        scoring renders CANDIDATE qposes whose links can sit closer to the
+        camera (larger px motion per pose delta), and mesh geometry
+        extends past link origins by the lever arm (advisor r4). A richer
+        probe cloud raises the measured spread, which only pushes wide
+        cases to the exact per-pair path — the safe direction."""
         if not hasattr(self, "_probes"):
-            lp0 = self.chain.fk_np(np.zeros(self.chain.n_dof))
-            self._probes = np.asarray(lp0[:, :3, 3], np.float64)
+            lim = np.asarray(self.chain.joint_limits, np.float64)
+            lo = np.where(np.isfinite(lim[:, 0]), lim[:, 0], -np.pi)
+            hi = np.where(np.isfinite(lim[:, 1]), lim[:, 1], np.pi)
+            f = self.limit_fraction
+            qs = [np.zeros(self.chain.n_dof), f * lo, f * hi, (lo + hi) / 2]
+            corners = np.asarray(
+                self.renderer.link_aabb_corners(), np.float64
+            )  # [L, 8, 3]
+            li = np.asarray(self.link_idx)
+            pts = []
+            for q in qs:
+                lp = self.chain.fk_np(np.asarray(q, np.float32))
+                pts.append(np.asarray(lp[:, :3, 3], np.float64))
+                sel = np.asarray(lp[li], np.float64)  # [L, 4, 4]
+                c = (
+                    np.einsum("lij,lcj->lci", sel[:, :3, :3], corners)
+                    + sel[:, None, :3, 3]
+                )
+                pts.append(c.reshape(-1, 3))
+            self._probes = np.concatenate(pts, axis=0)
         return self._probes
 
     def _score(self, qposes: jax.Array, hyp_dofs: jax.Array, K: jax.Array,

@@ -156,6 +156,9 @@ def sharded_calibrate(
     gradient. Disables bin-state reuse (bins are rebuilt per block).
     """
     from ..models.calib import (
+        adaptive_drift_budget,
+        drift_probe_points,
+        make_drift_probe_fn,
         mask_loss_per_frame,
         opt_scan,
         reuse_bins_ok,
@@ -214,7 +217,7 @@ def sharded_calibrate(
             jax.shard_map,
             mesh=mesh,
             in_specs=(P(), P(), P("data"), P(), P("data", "tile"), P("data")),
-            out_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()),
             check_vma=False,  # pallas_call out_shapes carry no vma info
         )
         def run(dof, opt_state, lp, K, mb, w):
@@ -302,31 +305,31 @@ def sharded_calibrate(
             probe_fn = None
             budget = 0.0
             if adaptive:
-                probes = lp[..., :3, 3].reshape(-1, 3)
-                fx, fy = Kb[0, 0], Kb[1, 1]
-                cx, cy = Kb[0, 2], Kb[1, 2]
-
-                def probe_fn(d):
-                    T = se3.exp(d)
-                    pc = probes @ T[:3, :3].T + T[:3, 3]
-                    z = jnp.maximum(pc[:, 2], 0.05)
-                    return jnp.stack(
-                        [fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy],
-                        axis=-1,
+                # Lever-arm-aware probes (per-link mesh AABB corners under
+                # this shard's local frames) + sharpness-derived budget —
+                # identical policy to the single-chip path; each shard
+                # gates on its own local probe drift. Non-positive budget
+                # -> this config can't do adaptive; rebin every step.
+                budget = adaptive_drift_budget(renderer.tile, sharpness)
+                if budget > 0:
+                    probe_fn = make_drift_probe_fn(
+                        drift_probe_points(renderer, lp), Kb
                     )
+                else:
+                    budget = 0.0
 
-                budget = max(float(renderer.tile.margin) - 0.8, 0.5)
-
-            dof, opt_state, losses, history, ov = opt_scan(
+            dof, opt_state, losses, history, ov, nrb = opt_scan(
                 dof, opt_state, opt, loss_of, bin_state_of, n, eff_rebin,
                 combine=combine, probe_fn=probe_fn, drift_budget=budget,
             )
             # Any shard overflowing truncates the psum'd gradient — reduce
-            # the flag across the whole mesh (forward-only).
+            # the flag across the whole mesh (forward-only). Rebins are
+            # reported as the mesh-wide max (the hot-path cost driver).
             ov = (
                 jax.lax.psum(ov.astype(jnp.float32), ("data", "tile")) > 0
             )
-            return dof, opt_state, losses, history, ov
+            nrb = jax.lax.pmax(nrb, ("data", "tile"))
+            return dof, opt_state, losses, history, ov, nrb
 
         return run
 
@@ -342,7 +345,9 @@ def sharded_calibrate(
         else:
             for_last = for_last or chunk_fn(n)
             fn = for_last
-        dof, opt_state, l, h, ov = fn(dof, opt_state, lp, Kj, masks_bands, wj)
+        dof, opt_state, l, h, ov, _nrb = fn(
+            dof, opt_state, lp, Kj, masks_bands, wj
+        )
         losses.append(l)
         history.append(h)
         done += n

@@ -67,6 +67,28 @@ class RobotRenderer:
             packed.face_mesh_id[None, :] == np.arange(packed.n_meshes)[:, None]
         )
         self.face_link_onehot = jnp.asarray(onehot, jnp.float32)  # [L, F]
+        # Per-link AABB corners in link-local frame [L, 8, 3] — the drift
+        # probe set for adaptive rebinning (models.calib.drift_probe_points).
+        # Link ORIGINS alone underestimate projected drift under
+        # rotation-dominant pose updates by the mesh lever arm; the AABB
+        # corners bound every vertex of the link (advisor r4, medium).
+        corners = np.zeros((packed.n_meshes, 8, 3), np.float32)
+        cube = np.array(
+            [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+            np.float32,
+        )
+        for l in range(packed.n_meshes):
+            v = packed.vertices[packed.vert_mesh_id == l]
+            if len(v) == 0:
+                continue
+            lo, hi = v.min(0), v.max(0)
+            corners[l] = lo + cube * (hi - lo)
+        self._link_aabb_corners = corners
+
+    def link_aabb_corners(self) -> np.ndarray:
+        """[L, 8, 3] per-link mesh AABB corners in link-local frame (host
+        numpy; empty links give 8 zero corners = the link origin)."""
+        return self._link_aabb_corners
 
     # Identity hash/eq: lets a renderer be a static jit argument (its packed
     # mesh arrays become baked constants of the compiled program).
