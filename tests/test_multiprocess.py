@@ -23,6 +23,7 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
 pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+variant = sys.argv[4]
 sys.path.insert(0, {repo!r})
 from easyhec_tpu.parallel.distributed import init_distributed
 init_distributed(coordinator_address="localhost:" + port, num_processes=2,
@@ -42,11 +43,24 @@ with tempfile.NamedTemporaryFile("w", suffix=".urdf", delete=False) as f:
 model = parse_urdf(path); chain = build_chain(model)
 links = ["base", "upper", "fore"]
 meshes = load_link_meshes(model, link_names=links)
-W, BAND_H, N_TILE = 64, 24, 2
+W, BAND_H, N_TILE = 64, 32, 2
 H = BAND_H * N_TILE
-# cap 128 covers the mini rig's true bin loads (~96; sharded_calibrate
-# raises on any rebin overflow since r4 — the old cap 64 truncated)
-cfg = TileConfig(8, 32, 128, binner="count", fused=True, margin=2.0)
+# cap 128 / big_k 128 / nc 24 cover the mini rig's TRUE bin loads (max 96,
+# audited in tests/test_sharding.py's identical rig; sharded_calibrate
+# raises on any rebin overflow since r4, so truncating caps fail loudly).
+# "compact" = the SHIPPED program shapes (compact-chunk grid + band-only
+# backward + boundary-prefix backward map + row-subsorted bins + ADAPTIVE
+# rebinning, as in configs/xarm7_example.yaml); "dense" keeps the
+# non-compact record layout + fixed cadence for coverage.
+if variant == "compact":
+    cfg = TileConfig(16, 32, 128, binner="count", fused=True, margin=2.0,
+                     bin_big_k=128, bwd_band_only=True,
+                     bin_subsort_rows=True, compact_chunks=24, bwd_chunks=24)
+    rebin_every = 0
+else:
+    cfg = TileConfig(16, 32, 128, binner="count", fused=True, margin=2.0,
+                     bin_big_k=128)
+    rebin_every = 8
 full = RobotRenderer([meshes[n] for n in links], H, W, tile=cfg)
 band = RobotRenderer([meshes[n] for n in links], BAND_H, W, tile=cfg)
 li = jnp.asarray([chain.link_index(n) for n in links])
@@ -60,7 +74,7 @@ init = gt + np.asarray([0.02, -0.02, 0.02, 0.02, -0.01, 0.02], np.float32)
 mesh = make_mesh(4, N_TILE)
 dof, losses, hist = sharded_calibrate(
     init, band, mesh, np.asarray(lp), K, target, num_steps=40, max_lr=3e-3,
-    rebin_every=8, chunk=20,
+    rebin_every=rebin_every, chunk=20,
 )
 # host-side comm helpers across REAL processes
 g = all_gather_arrays(np.asarray([float(pid)]))
@@ -74,18 +88,19 @@ print("WORKER_OK", pid)
 
 
 @pytest.mark.slow
-def test_two_process_sharded_calibrate(tmp_path):
+@pytest.mark.parametrize("variant,port", [("compact", "29531"),
+                                          ("dense", "29537")])
+def test_two_process_sharded_calibrate(tmp_path, variant, port):
     script = tmp_path / "worker.py"
     script.write_text(WORKER.format(repo=str(REPO)))
     env = {
         k: v for k, v in os.environ.items()
         if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")
     }
-    port = "29531"
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), port,
-             str(tmp_path / f"out{i}.npz")],
+             str(tmp_path / f"out{i}.npz"), variant],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=str(REPO),
         )
