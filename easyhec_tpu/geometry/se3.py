@@ -27,18 +27,34 @@ def _V_coeffs(theta2: jax.Array):
     """Coefficients for V = I + B·W + C·W², V⁻¹ = I - W/2 + D·W².
 
     B = (1-cosθ)/θ², C = (θ-sinθ)/θ³, D = (1 - A/(2B))/θ² with A=sinθ/θ.
-    All with Taylor fallbacks near θ=0.
+
+    The Taylor branch covers θ < 0.2, NOT just θ→0: the closed forms
+    cancel catastrophically in float32 well before underflow — at θ=1e-3,
+    1−cosθ ≈ 5e-7 carries only ~1 significant f32 digit, and D amplifies
+    that noise by 1/θ² (measured: 0.03 absolute error in log-translation
+    at θ=1e-3 under the old θ<1e-4 switch; caught by the executable
+    reference-parity test, tests/test_reference_parity.py). Three series
+    terms keep truncation below f32 eps up to θ=0.2, where the closed
+    forms are conditioned again.
     """
-    small = theta2 < 1e-8
+    small = theta2 < 0.04  # θ < 0.2
     theta2_safe = jnp.where(small, 1.0, theta2)
     theta = jnp.sqrt(theta2_safe)
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
-    A = jnp.where(small, 1.0 - theta2 / 6.0, sin_t / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - cos_t) / theta2_safe)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - sin_t) / (theta2_safe * theta))
+    t2 = theta2
+    A = jnp.where(
+        small, 1.0 - t2 / 6.0 + t2 * t2 / 120.0, sin_t / theta
+    )
+    B = jnp.where(
+        small, 0.5 - t2 / 24.0 + t2 * t2 / 720.0,
+        (1.0 - cos_t) / theta2_safe,
+    )
+    C = jnp.where(
+        small, 1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0,
+        (theta - sin_t) / (theta2_safe * theta),
+    )
     D = jnp.where(
-        small,
-        1.0 / 12.0 + theta2 / 720.0,
+        small, 1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0,
         (1.0 - 0.5 * A / B) / theta2_safe,
     )
     return A, B, C, D

@@ -44,11 +44,19 @@ def _sinc_coeffs(theta2: jax.Array):
     """
     # Guard the sqrt so its gradient is finite at θ=0; the Taylor branch is
     # selected there so the guarded value never leaks into the result.
-    small = theta2 < 1e-8
+    # θ < 0.2 switch (not θ→0 only): (1−cosθ)/θ² cancels badly in f32 for
+    # small-but-finite θ — see se3._V_coeffs for the measured failure.
+    small = theta2 < 0.04
     theta2_safe = jnp.where(small, 1.0, theta2)
     theta = jnp.sqrt(theta2_safe)
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    A = jnp.where(
+        small, 1.0 - theta2 / 6.0 + theta2 * theta2 / 120.0,
+        jnp.sin(theta) / theta,
+    )
+    B = jnp.where(
+        small, 0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0,
+        (1.0 - jnp.cos(theta)) / theta2_safe,
+    )
     return A, B
 
 
