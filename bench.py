@@ -55,9 +55,10 @@ BASELINE_PIX_S = 34e6
 NUM_STEPS = int(os.environ.get("BENCH_STEPS", "1000"))
 CHUNK = 100
 # Rebin policy: ADAPTIVE (default) rebuilds the tile bins inside the scan
-# whenever the pose has drifted more than (margin - 0.8) px from the
-# state's build pose — checked BEFORE every render, so no render ever
-# uses stale bins. BENCH_REBIN=N selects the legacy fixed cadence, which
+# whenever per-link mesh-AABB probe drift exceeds the budget
+# margin - soft_band(sharpness) - safety (models.calib.adaptive_drift_
+# budget) from the state's build pose — checked BEFORE every render, so
+# no render ever uses stale bins. BENCH_REBIN=N selects the legacy fixed cadence, which
 # a post-run guard now audits: at N=12 (the r1-r3 operating point) the
 # EARLY windows of the misaligned trajectory drift up to ~8 px past the
 # 2 px margin (measured via the probe-point guard) — the adaptive policy
@@ -123,9 +124,16 @@ def build_scene():
     rect_x = int(os.environ.get("BENCH_RECT_X", "3"))
     compact = int(os.environ.get("BENCH_COMPACT", "256"))
     bwdc = int(os.environ.get("BENCH_BWD_CHUNKS", "0"))
+    # Binning margin: larger margins widen the adaptive drift budget
+    # (margin - band - safety), which matters at high resolution where the
+    # converged tail's Adam oscillation amplitude in PIXELS scales with
+    # focal length — a budget below the oscillation amplitude locks the
+    # tail into rebinning every few steps (self-sustaining: each rebuild
+    # reorders float summation and re-perturbs the pose).
+    mar = float(os.environ.get("BENCH_MARGIN", "2.0"))
     tile = TileConfig(
         th, tw, cap, True, binner="count", rect_y=rect_y, rect_x=rect_x,
-        margin=2.0,
+        margin=mar,
         cull_backfaces=True,  # closed CAD meshes: exact, halves bin loads
         fused=True,
         bwd_band_only=True,  # exact (tests/test_fused.py TestBandOnlyBackward)
