@@ -9,9 +9,17 @@ CONFIG5_DRYRUN.json.
 
 This validates that the multi-camera multi-host BASELINE config compiles and
 executes end-to-end with the exact production program shapes; throughput on
-virtual CPU devices is NOT meaningful (see BENCH_r*.json for real-chip perf).
+virtual CPU devices is NOT meaningful (see BENCH_r*.json for real-chip perf;
+the FULL 80-frame config-5 workload runs on the real chip via
+scripts/config5_chip.py, merged into the same CONFIG5_DRYRUN.json).
 
-Usage: python scripts/dryrun_config5.py [steps]
+Usage: python scripts/dryrun_config5.py [steps] [frames_per_view]
+
+frames_per_view < 20 shrinks the sharded full-res stage (this box has 2
+CPU cores; the honest-cap full-res backward costs ~7 CPU-minutes per
+frame-step, so the full 80-frame x 2-step stage would run ~9 h — the
+record labels the reduced frame count explicitly and the full workload is
+the chip stage).
 """
 from __future__ import annotations
 
@@ -106,8 +114,9 @@ def compact_mesh_stage(chain, mesh_list, link_idx) -> dict:
 
 def main() -> int:
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    frames_per_view = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     H, W = 1080, 1920
-    n_views, n_frames = 4, 20
+    n_views, n_frames = 4, frames_per_view
     n_data, n_tile = 4, 2
     band_h = H // n_tile
 
@@ -125,13 +134,14 @@ def main() -> int:
     #   materializes per-triangle coverage intermediates for every local
     #   frame at once — OOM-killed at 130 GB. frame_chunk=1 (remat over
     #   frame blocks, parallel.sharding) bounds it to one frame's render.
-    # cap 1408 covers the audited TRUE loads of this scene (bin_audit at
-    # 1080p f=1400 ring-view: max 1112, span 8x2) — the r3 record
+    # cap 1664 covers the audited TRUE loads of this scene with headroom
+    # (scripts/audit_config5_ring.py, exact per-view ring audit at 16x128
+    # margin 2: max load 1298, span 9x2, big-span 1454) — the r3 record
     # (CONFIG5_DRYRUN.json) ran cap 512, i.e. its XLA-path renders
     # truncated dense tiles; its memory-bounded-execution conclusion
-    # stands but its wall times are optimistic. rect 8x3 covers the span.
+    # stands but its wall times were optimistic. rect 9x3 covers the span.
     tile = TileConfig(
-        16, 128, 1408, False, binner="count", rect_y=8, rect_x=3, margin=2.0,
+        16, 128, 1664, False, binner="count", rect_y=9, rect_x=3, margin=2.0,
         cull_backfaces=True, bin_big_k=2048,
     )
     band = RobotRenderer(mesh_list, band_h, W, tile=tile)
@@ -151,17 +161,15 @@ def main() -> int:
     lp1 = jax.vmap(chain.fk)(qs)[:, link_idx]  # [F, L, 4, 4]
 
     # Single-camera calibration contract: solve ONE Tc. Express the 4-view
-    # problem in camera-0 frame by folding each view's known rig offset
-    # Tc_v = T_off_v @ Tc_0 into the link poses.
+    # problem in camera-0 frame by folding each view's KNOWN rig offset
+    # into the link poses: lp'_vf = (inv(Tc0) @ Tc_v) @ lp_f, so rendering
+    # pose P = Tc0 gives P @ lp'_vf == Tc_v @ lp_f — view v renders its
+    # TRUE ring image and the per-view audit budgets above are exact.
     T0inv = se3.inverse(Tcs[0])
-    offs = jnp.einsum("vij,jk->vik", Tcs, T0inv)  # [V, 4, 4]
+    offs = jnp.einsum("ij,vjk->vik", T0inv, Tcs)  # [V, 4, 4]
     lp = jnp.einsum(
         "vij,fljk->vflik", offs, lp1
     ).reshape(n_views * n_frames, lp1.shape[1], 4, 4)
-    # note: offs @ Tc0 @ lp == Tc_v @ lp; we render with Tc0 as the pose and
-    # lp' = (Tc0^-1 @ offs @ Tc0) @ lp — instead simply use lp' = offs' @ lp
-    # with offs' in base frame; for a dryrun the exact rig algebra is not
-    # the point: the workload shape (80 x 1080p x sharded) is.
 
     # Stage 0: the production compact-chunk kernels under the same mesh
     # (reduced resolution; see compact_mesh_stage docstring).
@@ -204,16 +212,32 @@ def main() -> int:
     out = {
         "config": "BASELINE config (5): 4 views x 20 frames @ 1920x1080",
         "compact_kernel_stage": compact_rep,
-        "kernel_backend": "XLA tiled + frame_chunk=1 remat (CPU devices)",
-        "mesh": f"{n_data} data x {n_tile} tile (virtual CPU devices)",
-        "steps": steps,
-        "losses": [round(float(x), 2) for x in losses],
-        "loss_decreasing": ok,
-        "gt_render_s": round(t_render, 1),
-        "opt_wall_s": round(t_opt, 1),
+        "sharded_fullres_stage": {
+            "workload": f"4 views x {n_frames} frames @ 1920x1080"
+            + ("" if n_frames == 20 else
+               " (reduced frame count for the 2-core CPU box; full 80-frame"
+               " workload = chip_stage)"),
+            "kernel_backend": "XLA tiled + frame_chunk=1 remat (CPU devices),"
+                              " cap 1664 / rect 9x3 (ring-audited)",
+            "mesh": f"{n_data} data x {n_tile} tile (virtual CPU devices)",
+            "steps": steps,
+            "losses": [round(float(x), 2) for x in losses],
+            "loss_decreasing": ok,
+            "gt_render_s": round(t_render, 1),
+            "opt_wall_s": round(t_opt, 1),
+            "ok": ok,
+        },
         "ok": ok,
     }
-    pathlib.Path("CONFIG5_DRYRUN.json").write_text(json.dumps(out, indent=2))
+    path = pathlib.Path(__file__).resolve().parent.parent / "CONFIG5_DRYRUN.json"
+    prev = json.loads(path.read_text()) if path.exists() else {}
+    # Keep only the real-chip stage from any previous record (the r3-era
+    # flat truncating-cap record is superseded wholesale).
+    merged = {k: prev[k] for k in ("chip_stage",) if k in prev}
+    merged.update(out)
+    if "chip_stage" in merged:
+        merged["ok"] = bool(ok and merged["chip_stage"].get("ok"))
+    path.write_text(json.dumps(merged, indent=2))
     print(json.dumps(out), flush=True)
     return 0 if ok else 1
 
