@@ -65,9 +65,13 @@ class PromptMasker:
     restricted to the prompted boxes and grown/cut by the point labels.
     """
 
-    def __init__(self, backend=None, grabcut_iters: int = 5):
+    def __init__(self, backend=None, grabcut_iters: int = 5,
+                 hysteresis: float = 0.2):
         self.backend = backend
         self.grabcut_iters = grabcut_iters
+        # lower probability threshold admitted by a positive click in a
+        # region the thresholded model mask missed (see _model_mask)
+        self.hysteresis = hysteresis
 
     def predict(self, rgb: np.ndarray, prompts: Prompts) -> np.ndarray:
         if self.backend is not None:
@@ -116,15 +120,38 @@ class PromptMasker:
             for x0, y0, x1, y1 in prompts.boxes:
                 keep[y0 : y1 + 1, x0 : x1 + 1] = True
             mask = mask * keep
-        # positive points grow: add the connected component under each point
-        comp = _connected_components(mask > 0.5)
+        else:
+            keep = np.ones((H, W), bool)
+        # Positive points grow the mask two ways:
+        # 1. the point lands on a predicted component the box cut away ->
+        #    restore that component;
+        # 2. the point lands where the THRESHOLDED mask missed but the
+        #    model still assigns some probability (backend.predict_prob)
+        #    -> admit the connected component above a LOWER threshold
+        #    around the click (probability hysteresis — SAM-like click
+        #    semantics for near-miss regions, e.g. dark parts whose
+        #    probability sits between the hysteresis and the threshold).
         full = np.asarray(self.backend.predict(rgb), np.float32) > 0.5
         comp_full = _connected_components(full)
+        prob = None
+        comp_low = None
+        if hasattr(self.backend, "predict_prob"):
+            prob = np.asarray(self.backend.predict_prob(rgb), np.float32)
+            comp_low = _connected_components(prob > self.hysteresis)
         for (px, py), lab in zip(prompts.points, prompts.labels):
-            if not (0 <= py < H and 0 <= px < W):
+            if not (0 <= py < H and 0 <= px < W) or lab != 1:
                 continue
-            if lab == 1 and full[py, px] and mask[py, px] < 0.5:
-                mask = np.maximum(mask, (comp_full == comp_full[py, px]).astype(np.float32))
+            if full[py, px] and mask[py, px] < 0.5:
+                mask = np.maximum(
+                    mask, (comp_full == comp_full[py, px]).astype(np.float32)
+                )
+            elif (
+                not full[py, px]
+                and comp_low is not None
+                and prob[py, px] > self.hysteresis
+            ):
+                grown = (comp_low == comp_low[py, px]) & keep
+                mask = np.maximum(mask, grown.astype(np.float32))
         mask = self._apply_negative_points(mask, prompts)
         return mask
 

@@ -84,16 +84,24 @@ def train_segmenter(
     base: int = 16,
     seed: int = 0,
     augment: bool = True,
+    init_params=None,
 ):
     """Train the U-Net on [N,H,W,3] uint8 images + [N,H,W] masks.
     Returns (params, final_loss). Small data is fine — synthetic scenes are
-    controlled and the task is near-template matching."""
+    controlled and the task is near-template matching.
+
+    init_params: warm-start for fine-tuning (the reference fine-tunes its
+    pretrained PointRend on synthetic data the same way — pass a lower lr
+    and fewer steps; e.g. real-photo pseudo-label self-training)."""
     import optax
 
     model = UNet(base=base)
     key = jax.random.PRNGKey(seed)
-    x0 = jnp.zeros((1,) + rgb.shape[1:3] + (3,), jnp.float32)
-    params = model.init(key, x0)
+    if init_params is not None:
+        params = jax.tree.map(jnp.asarray, init_params)
+    else:
+        x0 = jnp.zeros((1,) + rgb.shape[1:3] + (3,), jnp.float32)
+        params = model.init(key, x0)
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
@@ -147,9 +155,16 @@ class SegmenterMaskSource:
         self._infer = infer
 
     def predict(self, rgb: np.ndarray) -> np.ndarray:
+        return (self.predict_prob(rgb) > self._threshold).astype(np.float32)
+
+    def predict_prob(self, rgb: np.ndarray) -> np.ndarray:
+        """Raw foreground probability [H, W] in [0, 1]. PromptMasker uses
+        this for probability-hysteresis positive points: a click in a
+        region the thresholded mask missed admits the connected component
+        above a LOWER threshold around the click (SAM-like click
+        semantics for near-miss regions, e.g. dark parts)."""
         x = jnp.asarray(rgb, jnp.float32)[None] / 255.0
-        prob = np.asarray(self._infer(x))[0]
-        return (prob > self._threshold).astype(np.float32)
+        return np.asarray(self._infer(x))[0]
 
 
 def save_params(path: str | Path, params) -> None:

@@ -1,0 +1,521 @@
+"""MFU / roofline attribution for the winning rasterizer kernels.
+
+VERDICT r4 item 5: the ledger is Mpix/s vs an estimated CUDA baseline;
+this script grounds it in hardware fractions-of-peak with MEASURED
+ceilings and EXACT issued-FLOP counts:
+
+  ceilings   (TPU) microbench this chip's ceilings: MXU f32/bf16 matmul,
+             VPU elementwise f32, HBM bandwidth. The VPU/HBM numbers are
+             measured on this chip, not taken from a datasheet.
+  time R     (TPU) per-dispatch timings at resolution preset R
+             (640/720/1080): fused fwd loss, fwd+bwd, rebin — on the
+             bench scene at the bench's start pose, scan-chained with a
+             final readback (the remote tunnel's block_until_ready can
+             return early; same policy as bench.py).
+  count R    (CPU) EXACT issued-FLOP/byte counts for the same scene+pose
+             by replicating the kernel's guard logic in numpy from the
+             host-visible compact maps: per-chunk sub-block bbox-overlap
+             guards, the forward saturation early-out, the backward's
+             whole-tile and per-sub-block live-cotangent culls
+             (ops/pose_raster.py:_fwd_accumulate/_bwd_accumulate).
+  report     combine docs/mfu/*.json -> docs/mfu_report.md table.
+
+FLOP model (counted from the kernel code, ops/pose_raster.py):
+  forward, per (pixel, record-slot) in an executed sub-block visit
+  (_chunk_coverage + accumulate): 3 edge evals (2 mul + 2 add each) = 12,
+  bbox distance (4 sub + 3 min) = 7, dmin (4 min) = 4, coverage
+  (mul+add+max+min) = 4, accumulation add = 1  -> 28 VPU flops.
+  backward, per (pixel, slot) in an executed sub-block visit
+  (_bwd_chunk): coverage recompute 27, band mask+cotangent 6, arm masks
+  m0..mb 11, masked-G prep 6, bbox arms 11, sb+4 bbox reductions 10
+  -> 71 VPU flops, plus the three [P,3]^T x [P,C] dot_generals
+  -> 18 MXU flops (2 * 3 rows * 3 dots).
+  Per-chunk lane-row work (setup ~160, backward chain ~400 flops/slot)
+  is counted once per chunk/sub-block visit on 128 lanes.
+
+All counts are ISSUED work including dead lanes (the kernel always
+computes full 128-lane blocks; occupancy waste is part of the kernel's
+efficiency, not subtracted out).
+"""
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+OUT_DIR = pathlib.Path(__file__).resolve().parent.parent / "docs" / "mfu"
+
+# The round-5 ledger winners (BASELINE.md round-5 table).
+PRESETS = {
+    "640": dict(H=480, W=640, TILE_H=16, TILE_W=32, CAP=1280, BIG_K=6144,
+                COMPACT=256, RECT_Y=5, RECT_X=3, MARGIN=2.0, MPIX_S=458.9),
+    "720": dict(H=720, W=1280, TILE_H=16, TILE_W=64, CAP=1152, BIG_K=3328,
+                COMPACT=464, RECT_Y=8, RECT_X=3, MARGIN=2.0, MPIX_S=634.7),
+    "1080": dict(H=1080, W=1920, TILE_H=16, TILE_W=64, CAP=1280, BIG_K=6144,
+                 COMPACT=792, RECT_Y=13, RECT_X=4, MARGIN=4.0, MPIX_S=794.0),
+}
+
+FWD_PIX = 28.0          # VPU flops / (pixel, slot) / fwd sub-block visit
+BWD_PIX_VPU = 71.0      # VPU flops / (pixel, slot) / bwd sub-block visit
+BWD_PIX_MXU = 18.0      # MXU flops / (pixel, slot) / bwd sub-block visit
+SETUP_SLOT = 160.0      # lane-row flops / slot / chunk setup
+CHAIN_SLOT = 400.0      # lane-row flops / slot / bwd chain (per sub-block)
+SUB = 8                 # _SUB row granularity (ops/pose_raster.py)
+CHUNK = 128
+
+
+def _apply_preset(name: str) -> dict:
+    p = PRESETS[name]
+    for k, v in p.items():
+        if k != "MPIX_S":
+            os.environ[f"BENCH_{k}"] = str(v)
+    return p
+
+
+def _build_scene():
+    """The bench scene (bench.build_scene + its pose/camera/frames)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from easyhec_tpu.geometry import camera, se3
+
+    chain, renderer, link_idx, H, W = bench.build_scene()
+    B = 10
+    f = 600.0 * W / 640.0
+    K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    Tcam = camera.look_at(
+        jnp.asarray([1.0, 0.7, 0.8]), jnp.asarray([0.0, 0.0, 0.3]),
+        jnp.asarray([0.0, 0.0, 1.0]),
+    )
+    xi = se3.log(se3.inverse(Tcam))
+    lo = jnp.asarray(chain.joint_limits[:, 0] * 0.4)
+    hi = jnp.asarray(chain.joint_limits[:, 1] * 0.4)
+    qs = jax.random.uniform(
+        jax.random.PRNGKey(0), (B, chain.n_dof), minval=lo, maxval=hi
+    )
+    lp = jax.vmap(chain.fk)(qs)[:, link_idx]
+    return renderer, lp, K, xi, H, W, B
+
+
+def _timed_scan(fn_step, carry0, iters: int) -> float:
+    """Wall seconds per iteration of fn_step chained via lax.scan with a
+    host readback at the end (defeats early block_until_ready returns)."""
+    import jax
+
+    @jax.jit
+    def run(c):
+        def body(c, _):
+            return fn_step(c), None
+
+        c, _ = jax.lax.scan(body, c, None, length=iters)
+        return c
+
+    c = run(carry0)
+    jax.tree.map(np.asarray, c)  # compile + warm
+    t0 = time.time()
+    c = run(carry0)
+    jax.tree.map(np.asarray, c)
+    return (time.time() - t0) / iters
+
+
+def cmd_ceilings() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    out = {"backend": jax.default_backend()}
+
+    # MXU matmul ceilings (f32 and bf16), N=2048 (VMEM-friendly, MXU-bound)
+    for dt, key in ((jnp.float32, "mxu_f32_tflops"),
+                    (jnp.bfloat16, "mxu_bf16_tflops")):
+        N = 2048
+        a = jnp.ones((N, N), dt)
+
+        def mm(c):
+            return jnp.tanh(c @ a)  # tanh: break A@A@A simplification
+
+        dt_s = _timed_scan(mm, a, 30)
+        out[key] = round(2 * N**3 / dt_s / 1e12, 2)
+
+    # VPU elementwise f32: logistic map x <- 3.7*x*(1-x), 3 flops/element,
+    # chained 16x per scan step on a 32M-element vector (VMEM-blocked by
+    # XLA; arithmetic-intensity 48 flops/byte -> compute bound).
+    M, reps = 1 << 25, 16
+    x0 = jnp.full((M,), 0.31, jnp.float32)
+
+    def vpu(x):
+        for _ in range(reps):
+            x = 3.7 * x * (1.0 - x)
+        return x
+
+    dt_s = _timed_scan(vpu, x0, 20)
+    out["vpu_f32_tflops"] = round(3.0 * reps * M / dt_s / 1e12, 3)
+
+    # HBM stream: x <- x + 1 on 256 MB (read + write = 512 MB/iter)
+    Mh = 1 << 26
+    xh = jnp.zeros((Mh,), jnp.float32)
+    dt_s = _timed_scan(lambda x: x + 1.0, xh, 20)
+    out["hbm_gbs"] = round(2 * 4 * Mh / dt_s / 1e9, 1)
+
+    out["datasheet_v5e"] = {
+        "bf16_tflops": 197, "hbm_gbs": 819,
+        "note": "public v5e figures for context; MFU below uses the "
+                "MEASURED ceilings",
+    }
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    (OUT_DIR / "ceilings.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def cmd_time(name: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from easyhec_tpu.geometry import se3
+    from easyhec_tpu.models.calib import mask_loss, tile_masks
+
+    _apply_preset(name)
+    renderer, lp, K, xi, H, W, B = _build_scene()
+    d0 = xi + 0.01
+
+    st = jax.jit(lambda d: renderer.bin_state(se3.exp(d), lp, K))(d0)
+    assert not bool(np.asarray(jnp.any(st.overflow))), "overflow at d0"
+
+    target = jax.jit(
+        lambda x: (renderer.silhouette(se3.exp(x), lp, K) > 0.5).astype(
+            jnp.float32)
+    )(xi)
+    ref_tiles = tile_masks(np.asarray(target), renderer)
+
+    def loss_of(d):
+        return mask_loss(d, renderer, lp, K, target, bin_state=st,
+                         ref_tiles=ref_tiles)
+
+    eps = 1e-12
+    t_fwd = _timed_scan(lambda d: d + eps * loss_of(d), d0, 30)
+    t_fb = _timed_scan(
+        lambda d: d + eps * jax.grad(loss_of)(d), d0, 30
+    )
+    t_vg = _timed_scan(
+        lambda d: d + eps * jax.value_and_grad(loss_of)(d)[1], d0, 30
+    )
+
+    def rebin_step(d):
+        s = renderer.bin_state(se3.exp(d), lp, K)
+        return d + eps * jnp.sum(s.nlive.astype(jnp.float32))
+
+    t_rebin = _timed_scan(rebin_step, d0, 10)
+
+    rec = {
+        "preset": name, "H": H, "W": W, "B": B,
+        "fwd_ms": round(t_fwd * 1e3, 3),
+        "fwd_bwd_ms": round(t_fb * 1e3, 3),
+        "value_and_grad_ms": round(t_vg * 1e3, 3),
+        "rebin_ms": round(t_rebin * 1e3, 3),
+        "bwd_reduce": os.environ.get("EASYHEC_BWD_REDUCE", "mxu"),
+        "bwd_chunks": int(os.environ.get("BENCH_BWD_CHUNKS", "0")),
+    }
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    (OUT_DIR / f"time_{name}.json").write_text(json.dumps(rec, indent=2))
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# Exact issued-work counting (CPU): replicate the kernel guards in numpy.
+# ---------------------------------------------------------------------------
+
+
+def _np_setup(blk, cam, x0, y0, near=0.001, far=10.0):
+    """numpy mirror of ops.pose_raster._chunk_setup for one chunk.
+    blk [12, C]; returns (u[3,C], v[3,C], valid[C], bbox lox/loy/hix/hiy)."""
+    t = cam[:12]
+    fx, fy, cx, cy = cam[12], cam[13], cam[14], cam[15]
+    u, v, valid = [], [], None
+    eps_z, eps_n = 1e-6, 1e-12
+    for i in range(3):
+        Xb, Yb, Zb, Wb = blk[4 * i], blk[4 * i + 1], blk[4 * i + 2], blk[4 * i + 3]
+        x = t[0] * Xb + t[1] * Yb + t[2] * Zb + t[3] * Wb
+        y = t[4] * Xb + t[5] * Yb + t[6] * Zb + t[7] * Wb
+        z = t[8] * Xb + t[9] * Yb + t[10] * Zb + t[11] * Wb
+        ok = (z > near) & (z < far)
+        valid = ok if valid is None else (valid & ok)
+        zs = np.where(np.abs(z) < eps_z, np.where(z < 0, -eps_z, eps_z), z)
+        u.append(fx * x / zs + cx - x0)
+        v.append(fy * y / zs + cy - y0)
+    u, v = np.stack(u), np.stack(v)
+    area2 = (u[1] - u[0]) * (v[2] - v[0]) - (v[1] - v[0]) * (u[2] - u[0])
+    valid = valid & (np.abs(area2) > eps_n)
+    lox = np.where(valid, u.min(0), 1e9)
+    hix = u.max(0)
+    loy, hiy = v.min(0), v.max(0)
+    return u, v, valid, area2, (lox, loy, hix, hiy)
+
+
+def _np_cov(u, v, valid, area2, bbox, x0, y0, rows, tw, sharpness=1.0):
+    """numpy coverage [rh, tw, C] of one chunk over given pixel rows."""
+    r0, rh = rows
+    px = (np.arange(tw, dtype=np.float32) + 0.5)[None, :, None]
+    py = (np.arange(r0, r0 + rh, dtype=np.float32) + 0.5)[:, None, None]
+    orient = np.where(area2 >= 0, 1.0, -1.0).astype(np.float32)
+    eps_n = 1e-12
+    ds = []
+    for (ia, ib) in ((0, 1), (1, 2), (2, 0)):
+        p = v[ia] - v[ib]
+        q = u[ib] - u[ia]
+        n = np.maximum(np.sqrt(p * p + q * q), eps_n)
+        inv = orient / n
+        a, b = p * inv, q * inv
+        cst = -(a * u[ia] + b * v[ia])
+        ds.append(a[None, None] * px + b[None, None] * py + cst[None, None])
+    lox, loy, hix, hiy = (x[None, None] for x in bbox)
+    dbb = np.minimum(np.minimum(px - lox, hix - px),
+                     np.minimum(py - loy, hiy - py))
+    dmin = np.minimum(np.minimum(np.minimum(ds[0], ds[1]), ds[2]), dbb)
+    return np.clip(0.5 + sharpness * dmin, 0.0, 1.0)
+
+
+def cmd_count(name: str) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from easyhec_tpu.geometry import se3
+    from easyhec_tpu.render.fused import build_compact_state, cam_rows
+
+    p = _apply_preset(name)
+    renderer, lp, K, xi, H, W, B = _build_scene()
+    cfg = renderer.tile
+    th, tw = cfg.tile_h, cfg.tile_w
+    n_ty, n_tx = -(-H // th), -(-W // tw)
+    d0 = np.asarray(xi) + 0.01
+    band = 0.5  # 0.5 / sharpness(=1)
+
+    counts_rec = {}
+    states = {}
+    for tag, dof in (("gt", np.asarray(xi)), ("d0", d0)):
+        st = jax.jit(
+            lambda d: build_compact_state(renderer, se3.exp(d), lp, K)
+        )(jnp.asarray(dof))
+        assert not bool(np.asarray(st.overflow)), f"overflow at {tag}"
+        states[tag] = dict(
+            rec=np.asarray(st.rec), nlive=np.asarray(st.nlive),
+            ctmap=np.asarray(st.ctmap), ncu=np.asarray(st.ncu),
+            counts=np.asarray(st.counts),
+            cam=np.asarray(cam_rows(se3.exp(jnp.asarray(dof)),
+                                    jnp.asarray(K), B)),
+        )
+
+    def rasterize(stv):
+        """Replicate the fwd kernel: returns per-frame tile accs and the
+        fwd visit/flop tally at this pose."""
+        rec, nlive, ctmap, ncu, cam = (
+            stv["rec"], stv["nlive"], stv["ctmap"], stv["ncu"], stv["cam"]
+        )
+        nc = nlive.shape[1]
+        accs = {}
+        n_sub = 0
+        n_chunk = 0
+        sat_skips = 0
+        for b in range(B):
+            acc_t: dict[int, np.ndarray] = {}
+            for c in range(int(ncu[b])):
+                t = int(ctmap[b, c])
+                acc = acc_t.setdefault(t, np.zeros((th, tw), np.float32))
+                if nlive[b, c] <= 0:
+                    continue
+                if acc.min() >= 2.0:  # saturation early-out (whole chunk)
+                    sat_skips += 1
+                    continue
+                n_chunk += 1
+                x0 = (t % n_tx) * tw
+                y0 = (t // n_tx) * th
+                blk = rec[b, :, c * CHUNK : (c + 1) * CHUNK]
+                u, v, valid, a2, bbox = _np_setup(blk, cam[b], x0, y0)
+                if not valid.any():
+                    continue
+                clo_y = bbox[1][valid].min() - band
+                chi_y = bbox[3][valid].max() + band
+                subs = [(r, SUB) for r in range(0, th, SUB)] if th % SUB == 0 \
+                    else [(0, th)]
+                for (r0, rh) in subs:
+                    if not (clo_y <= r0 + rh and chi_y >= r0):
+                        continue
+                    if acc[r0 : r0 + rh].min() >= 2.0:
+                        sat_skips += 1
+                        continue
+                    n_sub += 1
+                    cov = _np_cov(u, v, valid, a2, bbox, x0, y0, (r0, rh), tw)
+                    acc[r0 : r0 + rh] += cov.sum(-1)
+            accs[b] = acc_t
+        return accs, n_sub, n_chunk, sat_skips
+
+    accs_gt, *_ = rasterize(states["gt"])
+    accs_d0, fwd_sub, fwd_chunk, fwd_sat = rasterize(states["d0"])
+
+    # target tiles from the GT rasterization (bench: hard threshold > 0.5)
+    ref_t = {
+        b: {t: (np.clip(a, 0, 1) > 0.5).astype(np.float32)
+            for t, a in accs_gt[b].items()}
+        for b in range(B)
+    }
+
+    # backward visit counting at d0 (band-only cotangent, bwd map == fwd map)
+    stv = states["d0"]
+    rec, nlive, ctmap, ncu, cam = (
+        stv["rec"], stv["nlive"], stv["ctmap"], stv["ncu"], stv["cam"]
+    )
+    bwd_sub = 0
+    bwd_chunk = 0
+    for b in range(B):
+        for c in range(int(ncu[b])):
+            t = int(ctmap[b, c])
+            acc = accs_d0[b].get(t)
+            if acc is None or nlive[b, c] <= 0:
+                continue
+            ref = ref_t[b].get(t, np.zeros((th, tw), np.float32))
+            e = np.clip(acc, 0, 1) - ref
+            gp2 = 2.0 * e * (acc <= 1.0) * ((acc > 0) & (acc < 1))
+            # crop mask for edge tiles
+            x0 = (t % n_tx) * tw
+            y0 = (t // n_tx) * th
+            if x0 + tw > W or y0 + th > H:
+                cx = np.arange(tw)[None, :] + x0 < W
+                cy = np.arange(th)[:, None] + y0 < H
+                gp2 = gp2 * (cx & cy)
+            if np.max(np.abs(gp2)) == 0.0:  # kernel any_live gate
+                continue
+            blk = rec[b, :, c * CHUNK : (c + 1) * CHUNK]
+            u, v, valid, a2, bbox = _np_setup(blk, cam[b], x0, y0)
+            if not valid.any():
+                continue
+            bwd_chunk += 1
+            clo_x = bbox[0][valid].min() - band
+            chi_x = bbox[2][valid].max() + band
+            clo_y = bbox[1][valid].min() - band
+            chi_y = bbox[3][valid].max() + band
+            subs = [(r, SUB) for r in range(0, th, SUB)] if th % SUB == 0 \
+                else [(0, th)]
+            pxr = np.arange(tw, dtype=np.float32) + 0.5
+            for (r0, rh) in subs:
+                pyr = np.arange(r0, r0 + rh, dtype=np.float32) + 0.5
+                win = (
+                    (pxr[None, :] >= clo_x) & (pxr[None, :] <= chi_x)
+                    & (pyr[:, None] >= clo_y) & (pyr[:, None] <= chi_y)
+                )
+                if np.max(np.abs(gp2[r0 : r0 + rh]) * win) > 0.0:
+                    bwd_sub += 1
+
+    pix_sub = SUB * tw if th % SUB == 0 else th * tw
+    fwd_flops = (
+        fwd_sub * pix_sub * CHUNK * FWD_PIX
+        + fwd_chunk * CHUNK * SETUP_SLOT
+    )
+    bwd_vpu = (
+        bwd_sub * pix_sub * CHUNK * BWD_PIX_VPU
+        + bwd_chunk * CHUNK * SETUP_SLOT
+        + bwd_sub * CHUNK * CHAIN_SLOT
+    )
+    bwd_mxu = bwd_sub * pix_sub * CHUNK * BWD_PIX_MXU
+    # dominant HBM traffic per dispatch (records + tile blocks, f32)
+    nc_used = int(states["d0"]["ncu"].sum())
+    n_vis_tiles = sum(len(a) for a in accs_d0.values())
+    fwd_bytes = (
+        nc_used * 12 * CHUNK * 4      # record DMA
+        + n_vis_tiles * th * tw * 4 * 2   # ref in + acc out
+    )
+    bwd_bytes = (
+        nc_used * 12 * CHUNK * 4 * 2  # record in + dcam parts out
+        + n_vis_tiles * th * tw * 4 * 2   # acc + ref in
+    )
+    rec_out = {
+        "preset": name, "B": B, "pose": "bench start (xi + 0.01)",
+        "fwd_sub_visits": fwd_sub, "fwd_chunk_visits": fwd_chunk,
+        "fwd_sat_skips": fwd_sat,
+        "bwd_sub_visits": bwd_sub, "bwd_chunk_visits": bwd_chunk,
+        "used_chunks_total": nc_used, "visited_tiles_total": n_vis_tiles,
+        "fwd_gflops": round(fwd_flops / 1e9, 3),
+        "bwd_vpu_gflops": round(bwd_vpu / 1e9, 3),
+        "bwd_mxu_gflops": round(bwd_mxu / 1e9, 3),
+        "fwd_mbytes": round(fwd_bytes / 1e6, 2),
+        "bwd_mbytes": round(bwd_bytes / 1e6, 2),
+        "mpix_per_step": round(B * H * W / 1e6, 3),
+    }
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    (OUT_DIR / f"count_{name}.json").write_text(json.dumps(rec_out, indent=2))
+    print(json.dumps(rec_out), flush=True)
+    return rec_out
+
+
+def cmd_report() -> None:
+    ceil = json.loads((OUT_DIR / "ceilings.json").read_text())
+    lines = [
+        "# MFU / roofline attribution (round 5)", "",
+        "Measured ceilings on this v5e chip (scripts/mfu_report.py "
+        "`ceilings`):", "",
+        f"- MXU matmul: **{ceil['mxu_f32_tflops']} TFLOP/s f32**, "
+        f"**{ceil['mxu_bf16_tflops']} TFLOP/s bf16** "
+        "(datasheet 197 bf16)",
+        f"- VPU elementwise f32: **{ceil['vpu_f32_tflops']} TFLOP/s** "
+        "(logistic-map chain, compute-bound)",
+        f"- HBM stream: **{ceil['hbm_gbs']} GB/s** (datasheet 819)", "",
+        "Issued work counted EXACTLY by replicating the kernel guards in "
+        "numpy from the host-visible compact maps (`count`); times are "
+        "per-dispatch scan-chained measurements (`time`).", "",
+        "| preset | pass | ms | issued VPU GF | issued MXU GF | VPU TF/s | "
+        "%VPU ceiling | GB moved | GB/s | %HBM |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name in PRESETS:
+        tf = OUT_DIR / f"time_{name}.json"
+        cf = OUT_DIR / f"count_{name}.json"
+        if not (tf.exists() and cf.exists()):
+            continue
+        t = json.loads(tf.read_text())
+        c = json.loads(cf.read_text())
+        fwd_s = t["fwd_ms"] / 1e3
+        bwd_s = (t["fwd_bwd_ms"] - t["fwd_ms"]) / 1e3
+        for pas, secs, vpu_gf, mxu_gf, mb in (
+            ("fwd", fwd_s, c["fwd_gflops"], 0.0, c["fwd_mbytes"]),
+            ("bwd", bwd_s, c["bwd_vpu_gflops"], c["bwd_mxu_gflops"],
+             c["bwd_mbytes"]),
+        ):
+            vpu_tfs = vpu_gf / secs / 1e3
+            pct = 100 * vpu_tfs / ceil["vpu_f32_tflops"]
+            gbs = mb / 1e3 / secs
+            lines.append(
+                f"| {name} | {pas} | {secs*1e3:.2f} | {vpu_gf:.2f} | "
+                f"{mxu_gf:.2f} | {vpu_tfs:.3f} | {pct:.0f}% | "
+                f"{mb/1e3:.3f} | {gbs:.0f} | "
+                f"{100*gbs/ceil['hbm_gbs']:.0f}% |"
+            )
+    md = "\n".join(lines) + "\n"
+    (OUT_DIR.parent / "mfu_report.md").write_text(md)
+    print(md)
+
+
+def main() -> int:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "report"
+    if cmd == "ceilings":
+        cmd_ceilings()
+    elif cmd == "time":
+        cmd_time(sys.argv[2])
+    elif cmd == "count":
+        cmd_count(sys.argv[2])
+    elif cmd == "report":
+        cmd_report()
+    else:
+        raise SystemExit(f"unknown subcommand {cmd}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

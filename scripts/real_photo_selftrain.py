@@ -1,0 +1,201 @@
+"""Round-5 dark-gripper experiment: real-photo self-training + prompt-gated
+prediction (VERDICT r4 item 8).
+
+The r4 ablation (docs/real_photo_eval/report.md) left one structural miss:
+the near-black gripper on the black curtain (~3-4% of mask area) that
+flat-shaded synthetic training cannot learn. The reference's answer is a
+ray-traced material model (SAPIEN path tracer + HDR envmaps,
+tools/simulate/gen_data_for_mask_training.py:121-136) — the consciously
+substituted capability. This script measures the two CHEAP paths the r4
+verdict proposed, with photo B as a strict holdout (never used for
+fine-tuning; only two clean real photos exist — both panels of the
+reference's pipeline figure — so A trains, B holds out; A was involved in
+the r4 model SELECTION, which is why only B is reported as holdout):
+
+1. SELF-TRAINING: fine-tune the r4 winner on photo A, labeled either by
+   (a) the winner's own prediction (pure pseudo-label, zero human info) or
+   (b) A's hand annotation (the information ceiling of "prompt-corrected"
+   pseudo-labels — what a human fixing the mask with box/point prompts
+   converges to). Mixed batches with the synthetic train set at two real
+   fractions; evaluate on held-out B.
+
+2. PROMPT-GATED prediction: PromptMasker with the U-Net backend
+   (io/annotate.py) and scripted prompts standing in for the user's
+   clicks — one box around the arm plus up to 3 positive clicks placed at
+   the centers of the largest missed regions and 2 negative clicks on the
+   largest false-positive regions (placement derived from the hand mask
+   exactly as a human prompter would place them visually). Positive
+   clicks use the round-5 probability-hysteresis semantics (a click in a
+   missed region admits the connected component above prob>0.2).
+
+Outputs docs/real_photo_eval/selftrain_report.json (+ overlay for the
+best variant) and prints a summary. Run on the TPU chip (training).
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np
+from PIL import Image
+
+from real_photo_eval import (
+    EVAL,
+    HOLDOUT_VIEWS,
+    N_VIEWS,
+    RES,
+    iou,
+    load_real,
+    make_training_set,
+)
+
+
+def _resize(img: np.ndarray, wh: tuple[int, int], thr=None) -> np.ndarray:
+    im = Image.fromarray(img if img.dtype == np.uint8 else
+                         (img * 255).astype(np.uint8))
+    out = np.asarray(im.resize(wh, Image.BILINEAR))
+    return (out > 127) if thr else out
+
+
+def _predict_full(src, real: np.ndarray) -> np.ndarray:
+    H0, W0 = real.shape[:2]
+    pred_r = src.predict(_resize(real, (RES, RES)))
+    return _resize((pred_r * 255).astype(np.uint8), (W0, H0), thr=True)
+
+
+def _click_points(miss: np.ndarray, k: int):
+    """Up to k click positions, one per largest connected region of
+    `miss`, at the interior point farthest from the region boundary (where
+    a human aims a click)."""
+    import cv2
+
+    n, labels = cv2.connectedComponents(miss.astype(np.uint8), connectivity=4)
+    sizes = [(int((labels == i).sum()), i) for i in range(1, n)]
+    pts = []
+    for sz, i in sorted(sizes, reverse=True)[:k]:
+        if sz < 30:  # a human would not bother clicking a speck
+            continue
+        d = cv2.distanceTransform((labels == i).astype(np.uint8), cv2.DIST_L2, 3)
+        y, x = np.unravel_index(int(d.argmax()), d.shape)
+        pts.append((int(x), int(y)))
+    return pts
+
+
+def main() -> None:
+    from easyhec_tpu.io.annotate import PromptMasker, Prompts
+    from easyhec_tpu.models.segmentation import (
+        SegmenterMaskSource,
+        save_params,
+        train_segmenter,
+    )
+
+    t0 = time.time()
+    rgb, mask, view_id = make_training_set()
+    tr = view_id < (N_VIEWS - HOLDOUT_VIEWS)
+    print(f"[selftrain] synthetic set {rgb.shape} in {time.time()-t0:.0f}s",
+          flush=True)
+
+    BASE, STEPS = 24, 2500
+    t0 = time.time()
+    params0, loss0 = train_segmenter(
+        rgb[tr], mask[tr], steps=STEPS, batch_size=8, base=BASE, seed=0,
+        augment=True,
+    )
+    print(f"[selftrain] winner retrained: loss {loss0:.4f} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    src0 = SegmenterMaskSource(params0, base=BASE)
+
+    real_a, hand_a = load_real("real_xarm7.png", "handmask.png")
+    real_b, hand_b = load_real("real_xarm7_b.png", "handmask_b.png")
+    base_a = _predict_full(src0, real_a)
+    base_b = _predict_full(src0, real_b)
+    results = {
+        "baseline": {"A": round(iou(base_a, hand_a), 4),
+                     "B_holdout": round(iou(base_b, hand_b), 4)},
+    }
+    print(f"[selftrain] baseline IoU A {results['baseline']['A']} "
+          f"B {results['baseline']['B_holdout']}", flush=True)
+
+    a_r = _resize(real_a, (RES, RES))
+    pseudo_a = src0.predict(a_r).astype(np.float32)
+    hand_a_r = _resize((hand_a * 255).astype(np.uint8), (RES, RES),
+                       thr=True).astype(np.float32)
+
+    best = (None, -1.0, "")
+    for label_tag, label_a in (("pseudo", pseudo_a), ("corrected", hand_a_r)):
+        for n_real in (60, 240):
+            reps = np.repeat(a_r[None], n_real, axis=0)
+            labs = np.repeat(label_a[None], n_real, axis=0)
+            ft_rgb = np.concatenate([rgb[tr], reps])
+            ft_mask = np.concatenate([mask[tr], labs])
+            t0 = time.time()
+            params_ft, loss_ft = train_segmenter(
+                ft_rgb, ft_mask, steps=600, batch_size=8, lr=3e-4,
+                base=BASE, seed=1, augment=True, init_params=params0,
+            )
+            src_ft = SegmenterMaskSource(params_ft, base=BASE)
+            pa = _predict_full(src_ft, real_a)
+            pb = _predict_full(src_ft, real_b)
+            key = f"selftrain_{label_tag}_real{n_real}"
+            results[key] = {
+                "A_trained_on": round(iou(pa, hand_a), 4),
+                "B_holdout": round(iou(pb, hand_b), 4),
+                "ft_loss": round(loss_ft, 4),
+                "wall_s": round(time.time() - t0, 1),
+            }
+            print(f"[selftrain] {key}: {results[key]}", flush=True)
+            if results[key]["B_holdout"] > best[1]:
+                best = (params_ft, results[key]["B_holdout"], key)
+
+    # --- prompt-gated prediction (scripted user clicks) ---
+    for tag, real, hand in (("A", real_a, hand_a), ("B", real_b, hand_b)):
+        hr = _resize((hand * 255).astype(np.uint8), (RES, RES), thr=True)
+        rr = _resize(real, (RES, RES))
+        pred0 = src0.predict(rr) > 0.5
+        prompts = Prompts()
+        ys, xs = np.nonzero(hr)
+        pad = 6
+        prompts.add_box(max(int(xs.min()) - pad, 0), max(int(ys.min()) - pad, 0),
+                        min(int(xs.max()) + pad, RES - 1),
+                        min(int(ys.max()) + pad, RES - 1))
+        for p in _click_points(hr & ~pred0, 3):
+            prompts.add_point(*p, label=1)
+        for p in _click_points(pred0 & ~hr, 2):
+            prompts.add_point(*p, label=0)
+        masker = PromptMasker(backend=src0, hysteresis=0.2)
+        pm = masker.predict(rr, prompts) > 0.5
+        H0, W0 = real.shape[:2]
+        pm_full = _resize((pm * 255).astype(np.uint8), (W0, H0), thr=True)
+        results[f"prompt_gated_{tag}"] = {
+            "iou": round(iou(pm_full, hand), 4),
+            "n_pos": int(sum(prompts.labels)),
+            "n_neg": int(len(prompts.labels) - sum(prompts.labels)),
+        }
+        print(f"[selftrain] prompt-gated {tag}: "
+              f"{results[f'prompt_gated_{tag}']}", flush=True)
+
+    if best[0] is not None:
+        save_params(EVAL / "unet_selftrain_params.pkl", best[0])
+        src_best = SegmenterMaskSource(best[0], base=BASE)
+        pb = _predict_full(src_best, real_b)
+        ov = real_b.astype(np.float32).copy()
+        tp, fp, fn = pb & hand_b, pb & ~hand_b, ~pb & hand_b
+        ov[tp] = 0.55 * ov[tp] + 0.45 * np.array([0.0, 220.0, 0.0])
+        ov[fp] = 0.55 * ov[fp] + 0.45 * np.array([220.0, 0.0, 0.0])
+        ov[fn] = 0.55 * ov[fn] + 0.45 * np.array([0.0, 80.0, 255.0])
+        Image.fromarray(ov.astype(np.uint8)).save(
+            EVAL / "pred_overlay_b_selftrain.png"
+        )
+        results["best_variant"] = best[2]
+
+    (EVAL / "selftrain_report.json").write_text(json.dumps(results, indent=1))
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

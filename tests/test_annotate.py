@@ -50,6 +50,39 @@ def test_model_backend_with_box_gate():
     assert mask[:, 36:].sum() == 0
 
 
+def test_model_backend_hysteresis_click_recovers_missed_region():
+    """A positive click in a region the THRESHOLDED model mask missed (but
+    where the model assigns probability above the hysteresis) admits that
+    low-confidence connected component — the dark-gripper recovery path
+    (reference analog: SAM point prompts, utils/prompt_drawer.py)."""
+    rgb, gt = _scene()
+
+    class ProbModel:
+        def predict(self, rgb):
+            return (self.predict_prob(rgb) > 0.5).astype("float32")
+
+        def predict_prob(self, rgb):
+            import numpy as np
+
+            prob = np.zeros(rgb.shape[:2], np.float32)
+            prob[10:30, 5:25] = 0.9   # confidently predicted part
+            prob[35:50, 5:25] = 0.35  # near-miss region (e.g. dark part)
+            return prob
+
+    masker = PromptMasker(backend=ProbModel(), hysteresis=0.2)
+    base = masker.predict(rgb, Prompts())
+    assert base[40, 10] == 0  # missed without the click
+
+    prompts = Prompts()
+    prompts.add_point(10, 40, 1)  # click inside the near-miss region
+    mask = masker.predict(rgb, prompts)
+    assert mask[40, 10] == 1 and mask[45, 20] == 1  # component admitted
+    assert mask[10 - 5, 40] == 0  # background untouched
+    # probability below hysteresis is never admitted
+    masker_hi = PromptMasker(backend=ProbModel(), hysteresis=0.4)
+    assert masker_hi.predict(rgb, prompts)[40, 10] == 0
+
+
 def test_prompts_undo_reset():
     p = Prompts()
     p.add_box(0, 0, 5, 5)
