@@ -221,6 +221,28 @@ class SpaceExplorer:
             self._probes = np.concatenate(pts, axis=0)
         return self._probes
 
+    def _escalate_budgets(self) -> None:
+        """Double the capacity-class bin budgets (capacity, bin_big_k, and
+        the compact chunk budgets when in use) and rebuild the renderer +
+        compiled scoring programs. The one-off recompile only ever happens
+        when a scoring pass actually truncated."""
+        t = self.renderer.tile
+        t2 = t._replace(
+            capacity=t.capacity * 2,
+            bin_big_k=t.bin_big_k * 2 if t.bin_big_k else t.bin_big_k,
+            compact_chunks=(
+                t.compact_chunks * 2 if getattr(t, "compact_chunks", 0) else 0
+            ),
+            bwd_chunks=(
+                t.bwd_chunks * 2 if getattr(t, "bwd_chunks", 0) else 0
+            ),
+        )
+        self.renderer = RobotRenderer(
+            self.renderer.meshes, self.renderer.H, self.renderer.W, tile=t2
+        )
+        if hasattr(self, "_score_jit"):
+            self._score_jit.clear()
+
     def _score(self, qposes: jax.Array, hyp_dofs: jax.Array, K: jax.Array,
                shared: bool = False):
         """Variance score per candidate + feasibility. One compiled program
@@ -254,8 +276,16 @@ class SpaceExplorer:
                 compact_renderer = self.renderer.tile.fused and int(
                     getattr(self.renderer.tile, "compact_chunks", 0)
                 ) > 0
+                # Any count-binner renderer exposes an explicit bin state,
+                # which is the only way the per-render overflow flag is
+                # observable (the batched dense fallback below silently
+                # truncates) — route those through the state-driven branch.
+                counted = (
+                    self.renderer.tile.binner == "count"
+                    and self.renderer.mode != "brute"
+                )
 
-                if shared or compact_renderer:
+                if shared or compact_renderer or counted:
                     # State-driven scoring, scanning hypotheses:
                     # - shared: bin ONCE per candidate at the MEAN
                     #   hypothesis pose and render all Hh hypotheses
@@ -280,8 +310,7 @@ class SpaceExplorer:
                             if shared else None
                         )
 
-                        def hyp_step(carry, T_h):
-                            s, s2, ov = carry
+                        def render(T_h):
                             state = st0 if shared else (
                                 self.renderer.bin_state(T_h, lp_b, K)
                             )
@@ -293,11 +322,24 @@ class SpaceExplorer:
                                 sil = self.renderer.silhouette(
                                     T_h, lp_b, K, bin_state=state
                                 )
-                            ov = ov | jnp.any(state.overflow)
-                            return (s + sil, s2 + sil * sil, ov), None
+                            return sil, jnp.any(state.overflow)
+
+                        # Variance via sums of deviations from hypothesis
+                        # 0's silhouette: E[d^2] - E[d]^2 with d_0 = 0.
+                        # The uncentered E[x^2] - E[x]^2 form cancels two
+                        # O(1) quantities and left ~3e-5 of float noise on
+                        # IDENTICAL hypotheses; deviations are O(disagree-
+                        # ment), so the subtraction is benign.
+                        sil0, ov0 = render(Ts[0])
+
+                        def hyp_step(carry, T_h):
+                            s, s2, ov = carry
+                            sil, ov_h = render(T_h)
+                            d = sil - sil0
+                            return (s + d, s2 + d * d, ov | ov_h), None
 
                         (s, s2, ov), _ = jax.lax.scan(
-                            hyp_step, (zero, zero, jnp.zeros((), bool)), Ts
+                            hyp_step, (zero, zero, ov0), Ts[1:]
                         )
                         var = s2 / Hh - (s / Hh) ** 2
                         return jnp.sum(var, axis=(-2, -1)), ov
@@ -374,13 +416,30 @@ class SpaceExplorer:
         var, feasible, overflow = self._score(
             qposes, hyp_dofs, jnp.asarray(K, jnp.float32), shared=shared
         )
-        if bool(np.asarray(overflow)):
+        # Truncated bins rank variance on wrong silhouettes. Same contract
+        # as the trainers (BinOverflowError -> 2x escalation,
+        # trainer/offline.py): escalate capacity-class budgets and
+        # re-score; explored poses concentrate loads past any static audit
+        # (the r4 online run measured 1309 vs a random-pose audit of 824).
+        tries = 0
+        while bool(np.asarray(overflow)) and tries < 3:
+            tries += 1
             import logging
 
             logging.getLogger("easyhec_tpu").warning(
                 "explorer: tile-bin overflow during candidate scoring — "
-                "variance ranking may be degraded; raise the explorer "
-                "renderer's capacity/bin_big_k or decimate more"
+                "escalating budgets 2x and re-scoring (attempt %d)", tries,
+            )
+            self._escalate_budgets()
+            var, feasible, overflow = self._score(
+                qposes, hyp_dofs, jnp.asarray(K, jnp.float32), shared=shared
+            )
+        if bool(np.asarray(overflow)):
+            import logging
+
+            logging.getLogger("easyhec_tpu").warning(
+                "explorer: tile-bin overflow persists after escalation — "
+                "variance ranking may be degraded; decimate more"
             )
         var_np = np.asarray(var)
         if not np.isfinite(var_np).any():

@@ -85,6 +85,20 @@ def cam_rows(Tc_c2b: jax.Array, K: jax.Array, batch: int) -> jax.Array:
     return jnp.concatenate([flat, kvec], axis=-1)
 
 
+def _gather_fields(fpad: jax.Array, idx: jax.Array) -> jax.Array:
+    """[B, 12, N] record gather as 12 per-field row gathers.
+
+    A single take(f, i, axis=-1) lowers to one gather whose [N, 12]
+    output XLA materializes in (8, 128)-tiled layout — the minor dim 12
+    pads to 128 lanes, a 10.7x memory blowup (17.4 GB for 10 frames of
+    the config-5 scene; OOM'd the 16 GB chip). Twelve [N] row gathers
+    produce unpadded intermediates and stack into the same [B, 12, N]
+    field-major kernel operand."""
+    return jax.vmap(
+        lambda f, i: jnp.stack([jnp.take(f[r], i) for r in range(12)])
+    )(fpad, idx)
+
+
 def _base_corner_fields(corners_rest, face_link_onehot, link_poses):
     """Base-frame corner fields [B, 12, F] (+valid w folded by caller).
 
@@ -221,7 +235,7 @@ def build_fused_state(
     idx = state.idx  # [B, n_tiles, cap]
     # Field-major [B, 12, n_tiles*cap] — exactly the kernel's record layout,
     # so the gather output feeds the kernel with no transpose or padding.
-    rec = jax.vmap(lambda f, i: jnp.take(f, i.reshape(-1), axis=-1))(fpad, idx)
+    rec = _gather_fields(fpad, idx.reshape(idx.shape[0], -1))
     return FusedState(
         rec=jax.lax.stop_gradient(rec),
         counts=jax.lax.stop_gradient(state.counts),
@@ -297,7 +311,7 @@ def build_compact_state(
         B, nc, CH
     )
     gidx = jnp.where(ok, tri, F).reshape(B, -1)
-    rec = jax.vmap(lambda f, i: jnp.take(f, i, axis=-1))(fpad, gidx)
+    rec = _gather_fields(fpad, gidx)  # per-field rows: no [N, 12] padding
 
     sg = jax.lax.stop_gradient
     rec = sg(rec)

@@ -46,6 +46,7 @@ class RobotRenderer:
         mode: str = "tiled",
     ):
         packed = pack_meshes(link_meshes)
+        self.meshes = list(link_meshes)  # kept for budget-escalated rebuilds
         self.vertices = jnp.asarray(packed.vertices)
         # SoA copies for the lane-vector fast path (see projection.py docs).
         self.verts_xyz = tuple(jnp.asarray(packed.vertices[:, i]) for i in range(3))

@@ -72,6 +72,37 @@ class TestExplorer:
         # The chosen candidate must be the max among feasible
         assert res.variance == res.var_all.max()
 
+    def test_overflow_escalates_budgets_and_rescore(self, rig):
+        """A truncating scoring pass must escalate the bin budgets 2x and
+        re-score (trainer escalation contract applied to the explorer) —
+        not merely warn and rank variance on truncated silhouettes."""
+        _, chain, _, link_names, meshes, _, _ = rig
+        tiny = RobotRenderer(
+            [meshes[n] for n in link_names], H, W,
+            tile=TileConfig(16, 32, 16), mode="tiled",  # cap 16: truncates
+        )
+        explorer = SpaceExplorer(
+            chain, tiny, link_names, spheres=None,
+            n_sample_qposes=8, n_hypotheses=3, history_start=0,
+            max_dist=None,
+        )
+        Tc = default_camera(distance=1.0, azimuth_deg=30, height=0.6,
+                            target=(0, 0, 0.3))
+        gt = np.asarray(se3.log(jnp.asarray(Tc)))
+        history = gt[None] + np.random.default_rng(0).normal(0, 0.01, (20, 6))
+        res = explorer.explore(history.astype(np.float32), K, key=0)
+        assert explorer.renderer.tile.capacity > 16  # escalated
+        assert np.isfinite(res.variance)
+        # escalated-budget pass no longer truncates on this scene
+        st = jax.jit(
+            lambda q: explorer.renderer.bin_state(
+                se3.exp(jnp.asarray(gt)),
+                jax.vmap(chain.fk)(q)[:, explorer.link_idx],
+                jnp.asarray(K),
+            )
+        )(jnp.asarray(res.qpos[None]))
+        assert not bool(np.asarray(jnp.any(st.overflow)))
+
     def test_identical_hypotheses_zero_variance(self, rig):
         _, chain, renderer, link_names, _, _, _ = rig
         explorer = SpaceExplorer(
