@@ -66,12 +66,16 @@ class PromptMasker:
     """
 
     def __init__(self, backend=None, grabcut_iters: int = 5,
-                 hysteresis: float = 0.2):
+                 hysteresis: float = 0.2, neg_hysteresis: float = 0.75):
         self.backend = backend
         self.grabcut_iters = grabcut_iters
         # lower probability threshold admitted by a positive click in a
         # region the thresholded model mask missed (see _model_mask)
         self.hysteresis = hysteresis
+        # upper bound for the low-confidence sub-region a negative click
+        # removes when the FP is attached to the true mask (see
+        # _model_mask); clicks on pixels above it delete the component
+        self.neg_hysteresis = neg_hysteresis
 
     def predict(self, rgb: np.ndarray, prompts: Prompts) -> np.ndarray:
         if self.backend is not None:
@@ -152,6 +156,34 @@ class PromptMasker:
             ):
                 grown = (comp_low == comp_low[py, px]) & keep
                 mask = np.maximum(mask, grown.astype(np.float32))
+        # Negative clicks, hysteresis-bounded when probabilities exist:
+        # deleting the whole connected component (the classical-backend
+        # semantics below) nukes the entire annotation when a false-
+        # positive region is ATTACHED to the true mask — one blob. With
+        # predict_prob, a negative click instead removes the connected
+        # LOW-CONFIDENCE sub-region (mask & prob < neg_hysteresis) under
+        # the point; a click on a >= neg_hysteresis pixel still removes
+        # the full component (the user insists — isolated confident FPs).
+        if prob is not None:
+            neg = [(p, l) for p, l in
+                   zip(prompts.points, prompts.labels) if l == 0]
+            if neg:
+                comp = None
+                comp_weak = None
+                for (px, py), _ in neg:
+                    if not (0 <= py < H and 0 <= px < W) or mask[py, px] <= 0.5:
+                        continue
+                    if prob[py, px] < self.neg_hysteresis:
+                        if comp_weak is None:
+                            comp_weak = _connected_components(
+                                (mask > 0.5) & (prob < self.neg_hysteresis)
+                            )
+                        mask = mask * (comp_weak != comp_weak[py, px])
+                    else:
+                        if comp is None:
+                            comp = _connected_components(mask > 0.5)
+                        mask = mask * (comp != comp[py, px])
+            return mask
         mask = self._apply_negative_points(mask, prompts)
         return mask
 

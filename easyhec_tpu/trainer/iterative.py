@@ -109,9 +109,29 @@ def run_iterative(
                 emeshes = [
                     decimate_vertex_clustering(m, vox) for m in rt.meshes
                 ]
+            # 2x capacity-class headroom over the model config: the model
+            # budgets are audited for ITS resolution, and explored poses at
+            # 1/ds with ds-decimated meshes concentrate loads differently
+            # (the r5 flagship re-record hit a live scoring overflow at
+            # round 0's wide hypothesis cloud). Cheap here — scoring is
+            # forward-only and compact-path work scales with occupancy,
+            # not capacity. SpaceExplorer still escalates 2x and re-scores
+            # if this headroom is ever exceeded.
+            t = rt.renderer.tile
+            tile2 = t._replace(
+                capacity=t.capacity * 2,
+                bin_big_k=t.bin_big_k * 2 if t.bin_big_k else t.bin_big_k,
+                compact_chunks=(
+                    t.compact_chunks * 2
+                    if getattr(t, "compact_chunks", 0) else 0
+                ),
+                bwd_chunks=(
+                    t.bwd_chunks * 2 if getattr(t, "bwd_chunks", 0) else 0
+                ),
+            )
             er = RobotRenderer(
                 emeshes, rt.renderer.H // ds, rt.renderer.W // ds,
-                tile=rt.renderer.tile,
+                tile=tile2,
             )
         else:
             ds = 1

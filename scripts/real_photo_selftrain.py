@@ -86,13 +86,61 @@ def _click_points(miss: np.ndarray, k: int):
     return pts
 
 
-def main() -> None:
+def prompt_gated(src0, results: dict) -> None:
+    """Scripted prompt-gated IoU on both photos (mutates `results`)."""
     from easyhec_tpu.io.annotate import PromptMasker, Prompts
+
+    real_a, hand_a = load_real("real_xarm7.png", "handmask.png")
+    real_b, hand_b = load_real("real_xarm7_b.png", "handmask_b.png")
+    for tag, real, hand in (("A", real_a, hand_a), ("B", real_b, hand_b)):
+        hr = _resize((hand * 255).astype(np.uint8), (RES, RES), thr=True)
+        rr = _resize(real, (RES, RES))
+        pred0 = src0.predict(rr) > 0.5
+        prompts = Prompts()
+        ys, xs = np.nonzero(hr)
+        pad = 6
+        prompts.add_box(max(int(xs.min()) - pad, 0), max(int(ys.min()) - pad, 0),
+                        min(int(xs.max()) + pad, RES - 1),
+                        min(int(ys.max()) + pad, RES - 1))
+        for p in _click_points(hr & ~pred0, 3):
+            prompts.add_point(*p, label=1)
+        for p in _click_points(pred0 & ~hr, 2):
+            prompts.add_point(*p, label=0)
+        masker = PromptMasker(backend=src0, hysteresis=0.2)
+        pm = masker.predict(rr, prompts) > 0.5
+        H0, W0 = real.shape[:2]
+        pm_full = _resize((pm * 255).astype(np.uint8), (W0, H0), thr=True)
+        base_full = _predict_full(src0, real)
+        results[f"prompt_gated_{tag}"] = {
+            "iou": round(iou(pm_full, hand), 4),
+            "baseline_iou": round(iou(base_full, hand), 4),
+            "n_pos": int(sum(prompts.labels)),
+            "n_neg": int(len(prompts.labels) - sum(prompts.labels)),
+        }
+        print(f"[selftrain] prompt-gated {tag}: "
+              f"{results[f'prompt_gated_{tag}']}", flush=True)
+
+
+def main() -> None:
     from easyhec_tpu.models.segmentation import (
         SegmenterMaskSource,
+        load_params,
         save_params,
         train_segmenter,
     )
+
+    BASE, STEPS = 24, 2500
+    if len(sys.argv) > 1 and sys.argv[1] == "prompts":
+        # Re-run only the prompt-gated measurement on the saved winner.
+        src0 = SegmenterMaskSource(
+            load_params(EVAL / "unet_params.pkl"), base=BASE
+        )
+        path = EVAL / "selftrain_report.json"
+        results = json.loads(path.read_text()) if path.exists() else {}
+        prompt_gated(src0, results)
+        path.write_text(json.dumps(results, indent=1))
+        print(json.dumps(results), flush=True)
+        return
 
     t0 = time.time()
     rgb, mask, view_id = make_training_set()
@@ -100,7 +148,6 @@ def main() -> None:
     print(f"[selftrain] synthetic set {rgb.shape} in {time.time()-t0:.0f}s",
           flush=True)
 
-    BASE, STEPS = 24, 2500
     t0 = time.time()
     params0, loss0 = train_segmenter(
         rgb[tr], mask[tr], steps=STEPS, batch_size=8, base=BASE, seed=0,
@@ -108,6 +155,7 @@ def main() -> None:
     )
     print(f"[selftrain] winner retrained: loss {loss0:.4f} "
           f"({time.time()-t0:.0f}s)", flush=True)
+    save_params(EVAL / "unet_params.pkl", params0)
     src0 = SegmenterMaskSource(params0, base=BASE)
 
     real_a, hand_a = load_real("real_xarm7.png", "handmask.png")
@@ -153,31 +201,7 @@ def main() -> None:
                 best = (params_ft, results[key]["B_holdout"], key)
 
     # --- prompt-gated prediction (scripted user clicks) ---
-    for tag, real, hand in (("A", real_a, hand_a), ("B", real_b, hand_b)):
-        hr = _resize((hand * 255).astype(np.uint8), (RES, RES), thr=True)
-        rr = _resize(real, (RES, RES))
-        pred0 = src0.predict(rr) > 0.5
-        prompts = Prompts()
-        ys, xs = np.nonzero(hr)
-        pad = 6
-        prompts.add_box(max(int(xs.min()) - pad, 0), max(int(ys.min()) - pad, 0),
-                        min(int(xs.max()) + pad, RES - 1),
-                        min(int(ys.max()) + pad, RES - 1))
-        for p in _click_points(hr & ~pred0, 3):
-            prompts.add_point(*p, label=1)
-        for p in _click_points(pred0 & ~hr, 2):
-            prompts.add_point(*p, label=0)
-        masker = PromptMasker(backend=src0, hysteresis=0.2)
-        pm = masker.predict(rr, prompts) > 0.5
-        H0, W0 = real.shape[:2]
-        pm_full = _resize((pm * 255).astype(np.uint8), (W0, H0), thr=True)
-        results[f"prompt_gated_{tag}"] = {
-            "iou": round(iou(pm_full, hand), 4),
-            "n_pos": int(sum(prompts.labels)),
-            "n_neg": int(len(prompts.labels) - sum(prompts.labels)),
-        }
-        print(f"[selftrain] prompt-gated {tag}: "
-              f"{results[f'prompt_gated_{tag}']}", flush=True)
+    prompt_gated(src0, results)
 
     if best[0] is not None:
         save_params(EVAL / "unet_selftrain_params.pkl", best[0])

@@ -83,6 +83,38 @@ def test_model_backend_hysteresis_click_recovers_missed_region():
     assert masker_hi.predict(rgb, prompts)[40, 10] == 0
 
 
+def test_model_backend_negative_click_bounded_by_confidence():
+    """A negative click on a low-confidence false-positive region that is
+    ATTACHED to the true mask removes only that weak sub-region — not the
+    whole connected blob (which would nuke the annotation); a click on a
+    confident pixel still removes the full component."""
+    import numpy as np
+
+    rgb, _ = _scene()
+
+    class ProbModel:
+        def predict(self, rgb):
+            return (self.predict_prob(rgb) > 0.5).astype("float32")
+
+        def predict_prob(self, rgb):
+            prob = np.zeros(rgb.shape[:2], np.float32)
+            prob[10:30, 5:25] = 0.95   # true region (confident)
+            prob[10:30, 25:40] = 0.6   # attached weak FP strip
+            return prob
+
+    masker = PromptMasker(backend=ProbModel())
+    p = Prompts()
+    p.add_point(30, 20, 0)  # negative click inside the weak strip
+    mask = masker.predict(rgb, p)
+    assert mask[20, 10] == 1   # confident region survives
+    assert mask[20, 30] == 0   # weak attached strip removed
+    # a negative click on the CONFIDENT region removes its whole component
+    p2 = Prompts()
+    p2.add_point(10, 20, 0)
+    mask2 = masker.predict(rgb, p2)
+    assert mask2[20, 10] == 0
+
+
 def test_prompts_undo_reset():
     p = Prompts()
     p.add_box(0, 0, 5, 5)
