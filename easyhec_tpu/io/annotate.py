@@ -36,9 +36,15 @@ class Prompts:
     boxes: list[tuple[int, int, int, int]] = field(default_factory=list)  # x0,y0,x1,y1
     points: list[tuple[int, int]] = field(default_factory=list)
     labels: list[int] = field(default_factory=list)  # 1 pos / 0 neg
+    # subtract-regions (the reference PromptDrawer's mask-subtraction
+    # mode, prompt_drawer.py): carved out of the final mask LAST — the
+    # robust tool against confidently-wrong attached false positives,
+    # where point semantics (component removal / confidence bounds) fail
+    neg_boxes: list[tuple[int, int, int, int]] = field(default_factory=list)
 
-    def add_box(self, x0, y0, x1, y1):
-        self.boxes.append((min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1)))
+    def add_box(self, x0, y0, x1, y1, label: int = 1):
+        box = (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+        (self.boxes if label else self.neg_boxes).append(box)
 
     def add_point(self, x, y, label=1):
         self.points.append((int(x), int(y)))
@@ -48,6 +54,8 @@ class Prompts:
         if self.points:
             self.points.pop()
             self.labels.pop()
+        elif self.neg_boxes:
+            self.neg_boxes.pop()
         elif self.boxes:
             self.boxes.pop()
 
@@ -55,6 +63,7 @@ class Prompts:
         self.boxes.clear()
         self.points.clear()
         self.labels.clear()
+        self.neg_boxes.clear()
 
 
 class PromptMasker:
@@ -114,7 +123,7 @@ class PromptMasker:
         # negative points always punch holes (mask subtraction, reference
         # prompt_drawer.py mask-subtract mode)
         out = self._apply_negative_points(out, prompts)
-        return out
+        return self._apply_neg_boxes(out, prompts)
 
     def _model_mask(self, rgb: np.ndarray, prompts: Prompts) -> np.ndarray:
         mask = np.asarray(self.backend.predict(rgb), np.float32)
@@ -183,8 +192,16 @@ class PromptMasker:
                         if comp is None:
                             comp = _connected_components(mask > 0.5)
                         mask = mask * (comp != comp[py, px])
-            return mask
+            return self._apply_neg_boxes(mask, prompts)
         mask = self._apply_negative_points(mask, prompts)
+        return self._apply_neg_boxes(mask, prompts)
+
+    @staticmethod
+    def _apply_neg_boxes(mask: np.ndarray, prompts: Prompts) -> np.ndarray:
+        if prompts.neg_boxes:
+            mask = mask.copy()
+            for x0, y0, x1, y1 in prompts.neg_boxes:
+                mask[max(y0, 0) : y1 + 1, max(x0, 0) : x1 + 1] = 0.0
         return mask
 
     @staticmethod

