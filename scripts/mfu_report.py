@@ -572,6 +572,12 @@ def cmd_report() -> None:
         "fwd) because per-visit overhead amortizes over denser tiles — "
         "the same effect that makes the 80-frame config-5 workload the "
         "fastest operating point (904 Mpix/s).",
+        "",
+        "Measured A/B, `EASYHEC_BWD_REDUCE=factored` (separable VPU "
+        "reduction) vs the default `mxu` dots, same scenes/harness: "
+        "640x480 bwd 3.78 ms vs 3.59 ms (+5%), 1080p bwd 14.84 ms vs "
+        "12.86 ms (+15%) — the MXU choice is confirmed at both ends of "
+        "the resolution ledger.",
     ]
     md = "\n".join(lines) + "\n"
     (OUT_DIR.parent / "mfu_report.md").write_text(md)
