@@ -571,7 +571,7 @@ def cmd_report() -> None:
         "4. **Higher resolutions run closer to the ceiling** (22% -> 29% "
         "fwd) because per-visit overhead amortizes over denser tiles — "
         "the same effect that makes the 80-frame config-5 workload the "
-        "fastest operating point (904 Mpix/s).",
+        "fastest operating point (923 Mpix/s).",
         "",
         "Measured A/B, `EASYHEC_BWD_REDUCE=factored` (separable VPU "
         "reduction) vs the default `mxu` dots, same scenes/harness: "
