@@ -222,11 +222,19 @@ class SpaceExplorer:
         return self._probes
 
     def _escalate_budgets(self) -> None:
-        """Double the capacity-class bin budgets (capacity, bin_big_k, and
-        the compact chunk budgets when in use) and rebuild the renderer +
-        compiled scoring programs. The one-off recompile only ever happens
-        when a scoring pass actually truncated."""
+        """Double the capacity-class bin budgets (capacity, bin_big_k, the
+        compact chunk budgets when in use) AND grow the rect enumeration
+        window, then rebuild the renderer + compiled scoring programs.
+        The overflow flag covers BOTH bin saturation and rect-window
+        misses — candidate qposes can swing links close to the camera
+        where triangle spans exceed any capacity-only escalation (the r5
+        bench_explorer forensic: rect 3x2 overflow persisted through 8x
+        caps, re-escalating + recompiling on every explore() call). The
+        one-off recompile only ever happens when a pass actually
+        truncated."""
         t = self.renderer.tile
+        n_ty = -(-self.renderer.H // t.tile_h)
+        n_tx = -(-self.renderer.W // t.tile_w)
         t2 = t._replace(
             capacity=t.capacity * 2,
             bin_big_k=t.bin_big_k * 2 if t.bin_big_k else t.bin_big_k,
@@ -236,6 +244,8 @@ class SpaceExplorer:
             bwd_chunks=(
                 t.bwd_chunks * 2 if getattr(t, "bwd_chunks", 0) else 0
             ),
+            rect_y=min(t.rect_y * 2, n_ty) if t.rect_y else t.rect_y,
+            rect_x=min(t.rect_x * 2, n_tx) if t.rect_x else t.rect_x,
         )
         self.renderer = RobotRenderer(
             self.renderer.meshes, self.renderer.H, self.renderer.W, tile=t2
