@@ -63,15 +63,22 @@ def main() -> int:
     # few px wide render against one binning per candidate — see
     # SpaceExplorer.hypothesis_spread_px); budgets re-audited at margin 8:
     # max load 1336, big 1290, span 3x2.
+    # Round-5 budgets: the r4 defaults (cap 1792 / rect 3x2) OVERFLOWED on
+    # every scoring pass — random candidate qposes at limit_fraction 0.9
+    # swing links close to the camera where triangle spans exceed the rect
+    # window (the audit gate's 8 sampled candidates missed it; the old
+    # stderr warning was swallowed by 2>/dev/null). These are the budgets
+    # SpaceExplorer's overflow escalation converges to (one 2x step);
+    # shipping them directly keeps the timed run clean + escalation-free.
     th = int(os.environ.get("EXP_TILE_H", "16"))
     tw = int(os.environ.get("EXP_TILE_W", "32"))
-    cap = int(os.environ.get("EXP_CAP", "1792"))
-    big_k = int(os.environ.get("EXP_BIG_K", "1792"))
+    cap = int(os.environ.get("EXP_CAP", "3584"))
+    big_k = int(os.environ.get("EXP_BIG_K", "3584"))
     margin = float(os.environ.get("EXP_MARGIN", "8.0"))
     fused = os.environ.get("EXP_FUSED", "1") == "1"
-    nc = int(os.environ.get("EXP_COMPACT", "96"))  # audit: 59 needed @ m8
-    ry = int(os.environ.get("EXP_RECT_Y", "3"))
-    rx = int(os.environ.get("EXP_RECT_X", "2"))
+    nc = int(os.environ.get("EXP_COMPACT", "192"))
+    ry = int(os.environ.get("EXP_RECT_Y", "6"))
+    rx = int(os.environ.get("EXP_RECT_X", "4"))
     renderer = RobotRenderer(
         mesh_list, H, W,
         tile=TileConfig(th, tw, cap, True, binner="count", rect_y=ry,
